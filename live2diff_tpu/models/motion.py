@@ -1,0 +1,270 @@
+"""Temporal motion modules: causal windowed attention over a streaming KV-cache.
+
+This is the heart of the framework. Each motion module is a temporal
+transformer whose self-attention runs along the frame axis in one of two
+modes (one Flax module, a mode switch — the reference's parallel
+streaming/warmup block files are an ONNX-export artifact, not semantics):
+
+* ``warmup``: bidirectional attention over the 8 warmup frames; emits the
+  PE-free K/V of those frames so the runtime can fill cache slots 0..7
+  (parity: ``VersatileAttention``,
+  /root/reference/live2diff/animatediff/models/motion_module.py:438-530).
+
+* ``stream``: one new frame per denoising step; its K/V is written into the
+  cache slot ``update_idx[step]``, and the query attends over the whole
+  16-slot window under an additive visibility bias. Positional encoding is
+  relative-ised: K/V are cached PE-free, and pre-projected PE rows
+  (``pe @ W_{q,k,v}``) are gathered by ``pe_idx`` at attention time
+  (parity: ``StreamTemporalAttention``,
+  /root/reference/live2diff/animatediff/models/stream_motion_module.py:9-213).
+
+Cache geometry: one array per attention layer, ``[steps, 2, HW, window, C]``
+(2 = K and V). Updates are ``dynamic_update_slice`` on donated buffers — no
+reallocation, no host round-trip, everything inside one compiled step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+from .layers import GEGLUFeedForward, sinusoidal_table
+
+KVCache = jnp.ndarray  # [steps, 2, HW, window, C]
+
+
+def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: jnp.ndarray) -> KVCache:
+    """Scatter the new frame's K/V into per-step cache slots.
+
+    cache: [steps, 2, HW, window, C]; k, v: [steps, HW, C];
+    update_idx: [steps] int32. Uses vmapped dynamic_update_slice so only the
+    written lane touches HBM (donation keeps it in place).
+    """
+    kv = jnp.stack([k, v], axis=1)  # [steps, 2, HW, C]
+
+    def row(c, kv_row, u):
+        return jax.lax.dynamic_update_slice(c, kv_row[:, :, None, :], (0, 0, u, 0))
+
+    return jax.vmap(row)(cache, kv, update_idx)
+
+
+def write_kv_warmup(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx) -> KVCache:
+    """Fill cache slots 0..F-1 of denoising-step row ``step_idx`` with warmup K/V.
+
+    k, v: [HW, F, C] (F = number of warmup frames).
+    """
+    kv = jnp.stack([k, v], axis=0)[None]  # [1, 2, HW, F, C]
+    return jax.lax.dynamic_update_slice(
+        cache, kv.astype(cache.dtype), (step_idx, 0, 0, 0, 0)
+    )
+
+
+class TemporalAttention(nn.Module):
+    """Temporal self-attention with dual warmup/stream behaviour."""
+
+    query_dim: int
+    heads: int = 8
+    pe_max_len: int = 24
+    window_size: int = 16
+    sink_size: int = 8
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # [B, HW, F, C] (tokens along frame axis)
+        kv_cache: Optional[KVCache],
+        mode: str,
+        attn_bias: Optional[jnp.ndarray] = None,  # [steps, window]
+        pe_idx: Optional[jnp.ndarray] = None,  # [steps, window]
+        update_idx: Optional[jnp.ndarray] = None,  # [steps]
+        warmup_step_idx=None,
+    ) -> Tuple[jnp.ndarray, KVCache]:
+        b, hw, f, c = hidden_states.shape
+        inner = self.query_dim
+        heads = self.heads
+        dim_head = inner // heads
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        to_q, to_k, to_v = dense("to_q"), dense("to_k"), dense("to_v")
+
+        q = to_q(hidden_states)
+        k = to_k(hidden_states)
+        v = to_v(hidden_states)
+
+        # pre-projected positional encodings (PE stays out of the cache)
+        pe = sinusoidal_table(self.pe_max_len, c, dtype=self.dtype)[: self.window_size]
+        pe_q, pe_k, pe_v = to_q(pe), to_k(pe), to_v(pe)  # [window, C]
+
+        def split_heads(x):
+            return x.reshape(*x.shape[:-1], heads, dim_head)
+
+        if mode == "warmup":
+            # cache the PE-free K/V of the warmup frames at slots 0..f-1
+            new_cache = write_kv_warmup(
+                kv_cache, k[0].astype(kv_cache.dtype), v[0].astype(kv_cache.dtype), warmup_step_idx
+            )
+            # bidirectional attention over the clip with absolute PE 0..f-1
+            q = q + pe_q[None, None, :f]
+            k = k + pe_k[None, None, :f]
+            v = v + pe_v[None, None, :f]
+            out = dot_product_attention(split_heads(q), split_heads(k), split_heads(v))
+        elif mode == "stream":
+            # f == 1: write this frame's K/V into its per-step slot
+            assert f == 1, "stream mode processes one frame per denoising step"
+            new_cache = write_kv_stream(
+                kv_cache,
+                k[:, :, 0].astype(kv_cache.dtype),
+                v[:, :, 0].astype(kv_cache.dtype),
+                update_idx,
+            )
+            k_full = new_cache[:, 0].astype(self.dtype)  # [steps, HW, window, C]
+            v_full = new_cache[:, 1].astype(self.dtype)
+
+            # gather PE: K/V by pe_idx rows, Q by its own slot's PE index
+            k_pe = pe_k[pe_idx]  # [steps, window, C]
+            v_pe = pe_v[pe_idx]
+            q_pe_idx = jnp.take_along_axis(pe_idx, update_idx[:, None], axis=1)  # [steps, 1]
+            q_pe = pe_q[q_pe_idx]  # [steps, 1, C]
+
+            q = q + q_pe[:, None]  # [steps, HW, 1, C]
+            k_full = k_full + k_pe[:, None]
+            v_full = v_full + v_pe[:, None]
+
+            bias = None
+            if attn_bias is not None:
+                # [steps, window] -> broadcast to [steps, HW, heads, 1, window]
+                bias = attn_bias[:, None, None, None, :]
+            out = dot_product_attention(
+                split_heads(q), split_heads(k_full), split_heads(v_full), bias=bias
+            )
+        else:
+            raise ValueError(f"unknown mode: {mode}")
+
+        out = out.reshape(*out.shape[:-2], inner)
+        out = nn.Dense(
+            self.query_dim, use_bias=True, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="to_out_0",
+        )(out)
+        return out, new_cache
+
+
+class TemporalTransformerBlock(nn.Module):
+    """Two temporal self-attentions + GEGLU feed-forward, all residual."""
+
+    dim: int
+    heads: int
+    attention_block_types: Tuple[str, ...] = ("Temporal_Self", "Temporal_Self")
+    pe_max_len: int = 24
+    window_size: int = 16
+    sink_size: int = 8
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # [B, HW, F, C]
+        kv_caches: Sequence[KVCache],
+        mode: str,
+        attn_bias=None,
+        pe_idx=None,
+        update_idx=None,
+        warmup_step_idx=None,
+    ) -> Tuple[jnp.ndarray, Tuple[KVCache, ...]]:
+        new_caches = []
+        for i, _block_type in enumerate(self.attention_block_types):
+            h = nn.LayerNorm(
+                epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name=f"norms_{i}"
+            )(hidden_states).astype(self.dtype)
+            attn_out, new_cache = TemporalAttention(
+                query_dim=self.dim, heads=self.heads, pe_max_len=self.pe_max_len,
+                window_size=self.window_size, sink_size=self.sink_size,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"attention_blocks_{i}",
+            )(h, kv_caches[i], mode, attn_bias, pe_idx, update_idx, warmup_step_idx)
+            hidden_states = hidden_states + attn_out
+            new_caches.append(new_cache)
+
+        h = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ff_norm"
+        )(hidden_states).astype(self.dtype)
+        hidden_states = hidden_states + GEGLUFeedForward(
+            dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
+        )(h)
+        return hidden_states, tuple(new_caches)
+
+
+class TemporalTransformer3DModel(nn.Module):
+    """GroupNorm -> linear proj_in -> temporal blocks -> zero-init proj_out + residual.
+
+    Input/output ``[B, F, H, W, C]``. The temporal axis is attention's
+    sequence axis; spatial positions fold into the batch.
+    """
+
+    heads: int = 8
+    num_layers: int = 1
+    attention_block_types: Tuple[str, ...] = ("Temporal_Self", "Temporal_Self")
+    norm_num_groups: int = 32
+    pe_max_len: int = 24
+    window_size: int = 16
+    sink_size: int = 8
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # [B, F, H, W, C]
+        kv_caches: Sequence[KVCache],
+        mode: str,
+        attn_bias=None,
+        pe_idx=None,
+        update_idx=None,
+        warmup_step_idx=None,
+    ) -> Tuple[jnp.ndarray, Tuple[KVCache, ...]]:
+        b, f, height, width, channels = hidden_states.shape
+        residual = hidden_states
+
+        x = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6,
+            dtype=jnp.float32, param_dtype=self.param_dtype, name="norm",
+        )(hidden_states).astype(self.dtype)
+        x = nn.Dense(
+            channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
+        )(x)
+
+        # [B, F, H, W, C] -> [B, HW, F, C]
+        x = x.reshape(b, f, height * width, channels).transpose(0, 2, 1, 3)
+
+        caches_per_block = len(self.attention_block_types)
+        new_caches = []
+        for i in range(self.num_layers):
+            block_caches = kv_caches[i * caches_per_block : (i + 1) * caches_per_block]
+            x, updated = TemporalTransformerBlock(
+                dim=channels, heads=self.heads,
+                attention_block_types=self.attention_block_types,
+                pe_max_len=self.pe_max_len, window_size=self.window_size,
+                sink_size=self.sink_size, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"transformer_blocks_{i}",
+            )(x, block_caches, mode, attn_bias, pe_idx, update_idx, warmup_step_idx)
+            new_caches.extend(updated)
+
+        x = x.transpose(0, 2, 1, 3).reshape(b, f, height, width, channels)
+        x = nn.Dense(
+            channels,
+            kernel_init=nn.initializers.zeros,  # zero-init: fresh module is a no-op
+            dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out",
+        )(x)
+        return x + residual, tuple(new_caches)
+
+
+def num_caches_per_module(num_layers: int = 1, num_attention_blocks: int = 2) -> int:
+    return num_layers * num_attention_blocks
