@@ -233,10 +233,12 @@ class TemporalTransformer3DModel(nn.Module):
         b, f, height, width, channels = hidden_states.shape
         residual = hidden_states
 
+        # per-frame GroupNorm statistics: fold frames into batch first
         x = nn.GroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6,
             dtype=jnp.float32, param_dtype=self.param_dtype, name="norm",
-        )(hidden_states).astype(self.dtype)
+        )(hidden_states.reshape(b * f, height, width, channels)).astype(self.dtype)
+        x = x.reshape(b, f, height, width, channels)
         x = nn.Dense(
             channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
         )(x)

@@ -61,7 +61,11 @@ class InflatedConv(nn.Module):
 
 
 class InflatedGroupNorm(nn.Module):
-    """GroupNorm over channels, framewise, fp32 statistics."""
+    """GroupNorm over channels, framewise (per-frame statistics), fp32 stats.
+
+    Frames fold into batch before normalisation so statistics never mix
+    across the video axis (matching per-frame 2D GroupNorm semantics).
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -70,14 +74,15 @@ class InflatedGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        folded, f = fold_frames(x)
         out = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
             name="norm",
-        )(x)
-        return out.astype(self.dtype)
+        )(folded)
+        return unfold_frames(out.astype(self.dtype), f)
 
 
 class ResnetBlock3D(nn.Module):

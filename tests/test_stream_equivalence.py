@@ -1,0 +1,132 @@
+"""THE core correctness property: streaming KV-cache attention must equal
+full causal attention over the same frames.
+
+A motion module processing frames one at a time through its 16-slot cache
+(after an 8-frame warmup fill) must produce, for each new frame, exactly the
+output of bidirectional attention run over all frames seen so far with the
+new frame as the last query — as long as the window has not evicted
+anything. This is the invariant that lets Live2Diff replace clip attention
+with a constant-cost streaming window.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from live2diff_tpu.models.motion import TemporalTransformer3DModel
+from live2diff_tpu.stream.state_machine import (
+    init_window_state,
+    mask_to_bias,
+    update_window_state,
+)
+
+WARMUP = 8
+WINDOW = 16
+C = 16
+H = W = 3
+
+
+@pytest.fixture(scope="module")
+def module_and_params():
+    mm = TemporalTransformer3DModel(heads=2, norm_num_groups=4, pe_max_len=24)
+    caches = [jnp.zeros((1, 2, H * W, WINDOW, C), jnp.float32) for _ in range(2)]
+    x = jnp.zeros((1, WARMUP, H, W, C))
+    params = mm.init(jax.random.PRNGKey(0), x, caches, "warmup", None, None, None, 0)
+    return mm, params
+
+
+def full_attention_reference(mm, params, frames):
+    """Run all frames at once in warmup mode; return the last frame's output.
+
+    Bidirectional attention's last query row == causal attention for the
+    newest frame, so this is the ground truth for the streaming path.
+    """
+    caches = [jnp.zeros((1, 2, H * W, frames.shape[1], C), jnp.float32) for _ in range(2)]
+    out, _ = mm.apply(params, frames, caches, "warmup", None, None, None, 0)
+    return np.asarray(out[:, -1])
+
+
+def test_streaming_matches_full_causal_attention(module_and_params):
+    mm, params = module_and_params
+    rng = np.random.RandomState(0)
+    num_stream_frames = 8  # window fills completely at warmup+8 = 16 frames
+    all_frames = jnp.asarray(
+        rng.randn(1, WARMUP + num_stream_frames, H, W, C), dtype=jnp.float32
+    )
+
+    # --- warmup: fill cache slots 0..7 (steps=1, step row 0) ---
+    caches = [jnp.zeros((1, 2, H * W, WINDOW, C), jnp.float32) for _ in range(2)]
+    _, caches = mm.apply(
+        params, all_frames[:, :WARMUP], caches, "warmup", None, None, None, 0
+    )
+
+    mask, pe_idx, update_idx = init_window_state(1)
+
+    # --- stream one frame at a time ---
+    for t in range(num_stream_frames):
+        frame = all_frames[:, WARMUP + t : WARMUP + t + 1]
+        out, caches = mm.apply(
+            params, frame, caches, "stream", mask_to_bias(mask), pe_idx, update_idx
+        )
+        mask, pe_idx, update_idx = update_window_state(mask, pe_idx, update_idx)
+
+        expected = full_attention_reference(mm, params, all_frames[:, : WARMUP + t + 1])
+        np.testing.assert_allclose(
+            np.asarray(out[:, 0]), expected, rtol=2e-4, atol=2e-4,
+            err_msg=f"stream frame {t} diverges from full causal attention",
+        )
+
+
+def test_streaming_after_eviction_attends_window_only(module_and_params):
+    """Once the window is full, the streamed output must equal attention over
+    the sink frames + the last (WINDOW - WARMUP) frames with relative PE."""
+    mm, params = module_and_params
+    rng = np.random.RandomState(1)
+    total = WARMUP + 12  # 4 frames past the eviction point
+    all_frames = jnp.asarray(rng.randn(1, total, H, W, C), dtype=jnp.float32)
+
+    caches = [jnp.zeros((1, 2, H * W, WINDOW, C), jnp.float32) for _ in range(2)]
+    _, caches = mm.apply(
+        params, all_frames[:, :WARMUP], caches, "warmup", None, None, None, 0
+    )
+    mask, pe_idx, update_idx = init_window_state(1)
+    outs = []
+    for t in range(total - WARMUP):
+        frame = all_frames[:, WARMUP + t : WARMUP + t + 1]
+        out, caches = mm.apply(
+            params, frame, caches, "stream", mask_to_bias(mask), pe_idx, update_idx
+        )
+        outs.append(np.asarray(out[:, 0]))
+        mask, pe_idx, update_idx = update_window_state(mask, pe_idx, update_idx)
+
+    # after eviction starts (t >= 8), the window holds sink frames 0..7 plus
+    # streamed frames [t-7..t]; PEs: sink keep 0..7, the newest gets 15,
+    # one frame back 14, etc. Verify via a hand-built single-shot attention.
+    t = total - WARMUP - 1  # last streamed frame index (t=11)
+    window_frames = jnp.concatenate(
+        [all_frames[:, :WARMUP], all_frames[:, WARMUP + t - 7 : WARMUP + t + 1]], axis=1
+    )
+    # emulate with a fresh cache using pe_idx [0..7, 8..15] where the newest
+    # frame sits at the end with PE 15: stream the window's non-sink frames
+    # in order into a fresh state and grab the final output.
+    caches2 = [jnp.zeros((1, 2, H * W, WINDOW, C), jnp.float32) for _ in range(2)]
+    _, caches2 = mm.apply(
+        params, all_frames[:, :WARMUP], caches2, "warmup", None, None, None, 0
+    )
+    mask2, pe2, upd2 = init_window_state(1)
+    # skip ahead: replay only the last 8 streamed frames through fresh state.
+    # State-machine positions differ (no eviction happened yet in the replay),
+    # but after exactly 8 replayed frames the window contents coincide and
+    # PE distances from the query are identical.
+    for i in range(8):
+        frame = window_frames[:, WARMUP + i : WARMUP + i + 1]
+        out2, caches2 = mm.apply(
+            params, frame, caches2, "stream", mask_to_bias(mask2), pe2, upd2
+        )
+        mask2, pe2, upd2 = update_window_state(mask2, pe2, upd2)
+
+    np.testing.assert_allclose(
+        outs[-1], np.asarray(out2[:, 0]), rtol=2e-4, atol=2e-4,
+        err_msg="post-eviction window attention mismatch",
+    )
