@@ -1,0 +1,311 @@
+"""StreamDiffusionDepth: the jit-compiled per-frame stream runtime.
+
+TPU-native redesign of the reference's ``StreamAnimateDiffusionDepth``
+(/root/reference/live2diff/pipeline_stream_animation_depth.py:24-666). The
+reference dispatches VAE encode, MiDaS, a UNet TensorRT engine, mask
+bookkeeping on host, an LCM step, and VAE decode as separate calls per
+frame; here the whole per-frame computation is ONE compiled XLA program:
+
+    frame_step: (params, StreamState, frame_rgb) -> (StreamState, frame_rgb_out)
+
+with the StreamState donated, so KV-caches and latent buffers update
+in-place in HBM. Warmup (``prepare``) is a second compiled program sharing
+the same weights.
+
+Stream-batch semantics (StreamDiffusion): the UNet batch axis carries the
+``n`` denoising steps of ``n`` consecutive frames — the incoming frame at
+the noisiest timestep plus the n-1 buffered intermediate latents — so each
+frame costs exactly one UNet call; outputs lag input by n-1 frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet import UNet3DConditionModel, UNetConfig
+from ..schedule import LCMSchedule
+from .state import StreamState
+from .state_machine import init_window_state, mask_to_bias, update_window_state
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    height: int = 512
+    width: int = 512
+    warmup_frames: int = 8
+    do_add_noise: bool = True
+    use_denoising_batch: bool = True
+    frame_buffer_size: int = 1
+    clip_skip: int = 1
+    vae_scale_factor: int = 8
+    vae_scaling: float = 0.18215
+    guidance_scale: float = 1.0  # cfg_type "none" (reference restriction)
+    cache_dtype: Any = jnp.bfloat16
+
+    @property
+    def latent_height(self) -> int:
+        return self.height // self.vae_scale_factor
+
+    @property
+    def latent_width(self) -> int:
+        return self.width // self.vae_scale_factor
+
+
+class StreamDiffusionDepth:
+    """Orchestrates UNet / VAE / depth submodels into compiled stream programs.
+
+    The submodels are injected as (apply_fn, params) pairs so the runtime is
+    agnostic to full-KL vs TinyVAE, real MiDaS vs none, etc. All apply fns
+    are jax-traceable; nothing here leaves the device in the hot loop.
+    """
+
+    def __init__(
+        self,
+        unet: UNet3DConditionModel,
+        unet_params,
+        schedule: LCMSchedule,
+        stream_config: StreamConfig,
+        vae_encode: Callable[[jnp.ndarray], jnp.ndarray],
+        vae_decode: Callable[[jnp.ndarray], jnp.ndarray],
+        depth_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    ):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.schedule = schedule
+        self.cfg = stream_config
+        self.vae_encode = vae_encode
+        self.vae_decode = vae_decode
+        self.depth_fn = depth_fn
+
+        n = schedule.num_steps
+        self.num_steps = n
+        # per-step scalars, shaped for broadcasting over [n, h, w, c]
+        self.c_skip = jnp.asarray(schedule.c_skip)[:, None, None, None]
+        self.c_out = jnp.asarray(schedule.c_out)[:, None, None, None]
+        self.alpha = jnp.asarray(schedule.alpha_prod_sqrt)[:, None, None, None]
+        self.beta = jnp.asarray(schedule.beta_prod_sqrt)[:, None, None, None]
+        self.sub_timesteps = jnp.asarray(schedule.sub_timesteps, dtype=jnp.int32)
+
+        self._prompt_embeds: Optional[jnp.ndarray] = None
+        self._jit_step = jax.jit(self._frame_step, donate_argnums=(0,))
+        self._jit_prepare = jax.jit(self._warmup_denoise)
+
+    # ------------------------------------------------------------------
+    # state creation
+    # ------------------------------------------------------------------
+
+    def init_state(self, seed: int = 2) -> StreamState:
+        cfg, n = self.cfg, self.num_steps
+        lh, lw = cfg.latent_height, cfg.latent_width
+        caches = self.unet.config.init_caches(lh, lw, n, dtype=cfg.cache_dtype)
+        mask, pe_idx, update_idx = init_window_state(
+            n, self.unet.config.window_size, self.unet.config.sink_size
+        )
+        buf_shape = (max(n - 1, 0) * cfg.frame_buffer_size, lh, lw, 4)
+        return StreamState(
+            rng=jax.random.PRNGKey(seed),
+            attn_mask=mask,
+            pe_idx=pe_idx,
+            update_idx=update_idx,
+            kv_caches=caches,
+            x_t_buffer=jnp.zeros(buf_shape, jnp.float32),
+            depth_buffer=jnp.zeros(buf_shape, jnp.float32),
+        )
+
+    def set_prompt(self, prompt_embeds: jnp.ndarray) -> None:
+        """[77, 768] or [1, 77, 768] text embedding; broadcast to the batch."""
+        if prompt_embeds.ndim == 2:
+            prompt_embeds = prompt_embeds[None]
+        self._prompt_embeds = jnp.broadcast_to(
+            prompt_embeds, (self.num_steps, *prompt_embeds.shape[1:])
+        )
+
+    # ------------------------------------------------------------------
+    # latent codecs (traced into both compiled programs)
+    # ------------------------------------------------------------------
+
+    def _encode_image(self, rng, frames_rgb: jnp.ndarray) -> jnp.ndarray:
+        """[F, H, W, 3] in [-1, 1] -> noised latents [F, h, w, 4] at t0."""
+        latents = self.vae_encode(frames_rgb) * self.cfg.vae_scaling
+        noise = jax.random.normal(rng, latents.shape, dtype=latents.dtype)
+        return self.alpha[0] * latents + self.beta[0] * noise
+
+    def _encode_depth(self, frames_rgb: jnp.ndarray) -> jnp.ndarray:
+        """[F, H, W, 3] -> depth-conditioned latents [F, h, w, 4].
+
+        MiDaS at 384x384 -> min-max normalise over the batch -> 3-channel
+        [-1,1] image -> VAE encode (reference encode_depth,
+        pipeline_stream_animation_depth.py:544-571).
+        """
+        if self.depth_fn is None:
+            return jnp.zeros(
+                (frames_rgb.shape[0], self.cfg.latent_height, self.cfg.latent_width, 4),
+                frames_rgb.dtype,
+            )
+        f, H, W, _ = frames_rgb.shape
+        depth_in = jax.image.resize(frames_rgb, (f, 384, 384, 3), "bilinear")
+        depth = self.depth_fn(depth_in)  # [F, 384, 384]
+        dmin, dmax = depth.min(), depth.max()
+        depth = (depth - dmin) / (dmax - dmin + 1e-6)
+        depth3 = jnp.repeat(depth[..., None], 3, axis=-1) * 2.0 - 1.0
+        depth3 = jax.image.resize(depth3, (f, H, W, 3), "bilinear")
+        return self.vae_encode(depth3) * self.cfg.vae_scaling
+
+    def _decode_latents(self, x0: jnp.ndarray) -> jnp.ndarray:
+        img = self.vae_decode(x0 / self.cfg.vae_scaling)
+        return jnp.clip(img, -1.0, 1.0)
+
+    # ------------------------------------------------------------------
+    # LCM consistency step
+    # ------------------------------------------------------------------
+
+    def _scheduler_step_batch(self, model_pred, x_t):
+        """Batched LCM x0-prediction: F_theta = (x - beta*eps)/alpha;
+        x0 = c_out * F_theta + c_skip * x."""
+        f_theta = (x_t - self.beta * model_pred) / self.alpha
+        return self.c_out * f_theta + self.c_skip * x_t
+
+    # ------------------------------------------------------------------
+    # compiled programs
+    # ------------------------------------------------------------------
+
+    def _unet_apply(self, x_t, depth, state: StreamState, prompt_embeds):
+        sample = x_t[:, None].astype(self.unet.dtype)  # [n, 1, h, w, 4]
+        depth5 = depth[:, None].astype(self.unet.dtype)
+        bias = mask_to_bias(state.attn_mask, dtype=jnp.float32)
+        out, new_caches = self.unet.apply(
+            self.unet_params,
+            sample,
+            self.sub_timesteps,
+            prompt_embeds.astype(self.unet.dtype),
+            depth5,
+            state.kv_caches,
+            "stream",
+            bias,
+            state.pe_idx,
+            state.update_idx,
+        )
+        return out[:, 0].astype(jnp.float32), new_caches
+
+    def _frame_step(
+        self, state: StreamState, frame_rgb: jnp.ndarray, prompt_embeds: jnp.ndarray
+    ) -> Tuple[StreamState, jnp.ndarray]:
+        """One streamed frame: encode -> stream-batch UNet -> LCM -> decode."""
+        cfg, n = self.cfg, self.num_steps
+        rng, r_enc, r_buf = jax.random.split(state.rng, 3)
+
+        x_t_new = self._encode_image(r_enc, frame_rgb[None])  # [1, h, w, 4]
+        depth_new = self._encode_depth(frame_rgb[None])
+
+        if n > 1:
+            x_t = jnp.concatenate([x_t_new, state.x_t_buffer], axis=0)
+            depth = jnp.concatenate([depth_new, state.depth_buffer], axis=0)
+        else:
+            x_t, depth = x_t_new, depth_new
+
+        model_pred, new_caches = self._unet_apply(x_t, depth, state, prompt_embeds)
+        x0_batch = self._scheduler_step_batch(model_pred, x_t)
+
+        mask, pe_idx, update_idx = update_window_state(
+            state.attn_mask, state.pe_idx, state.update_idx, self.unet.config.sink_size
+        )
+
+        if n > 1:
+            x0_out = x0_batch[-1]
+            if cfg.do_add_noise:
+                noise = jax.random.normal(r_buf, x0_batch[:-1].shape, x0_batch.dtype)
+                x_t_buffer = self.alpha[1:] * x0_batch[:-1] + self.beta[1:] * noise
+            else:
+                x_t_buffer = self.alpha[1:] * x0_batch[:-1]
+            depth_buffer = depth[:-1]
+        else:
+            x0_out = x0_batch[0]
+            x_t_buffer = state.x_t_buffer
+            depth_buffer = state.depth_buffer
+
+        out_rgb = self._decode_latents(x0_out[None])[0]
+
+        new_state = StreamState(
+            rng=rng,
+            attn_mask=mask,
+            pe_idx=pe_idx,
+            update_idx=update_idx,
+            kv_caches=new_caches,
+            x_t_buffer=x_t_buffer,
+            depth_buffer=depth_buffer,
+            frame_idx=state.frame_idx + 1,
+        )
+        return new_state, out_rgb
+
+    def _warmup_denoise(
+        self, state: StreamState, warmup_rgb: jnp.ndarray, prompt_embeds: jnp.ndarray
+    ) -> Tuple[StreamState, jnp.ndarray]:
+        """Warmup program: encode the 8 warmup frames, run the denoise loop
+        with bidirectional temporal attention, filling every step's cache.
+
+        Mirrors the reference warmup (pipeline_stream_animation_depth.py:302-344)
+        but as one compiled program; the python loop over denoise steps
+        unrolls at trace time (n is 2..4).
+        """
+        rng, r_enc = jax.random.split(state.rng)
+        x_t = self._encode_image(r_enc, warmup_rgb)  # [F, h, w, 4]
+        depth = self._encode_depth(warmup_rgb)
+
+        caches = state.kv_caches
+        sample = x_t[None].astype(self.unet.dtype)  # [1, F, h, w, 4]
+        depth5 = depth[None].astype(self.unet.dtype)
+        prompt1 = prompt_embeds[:1].astype(self.unet.dtype)
+
+        x0 = None
+        for idx in range(self.num_steps):
+            t = self.sub_timesteps[idx][None]
+            out, caches = self.unet.apply(
+                self.unet_params, sample, t, prompt1, depth5, caches,
+                "warmup", None, None, None, idx,
+            )
+            model_pred = out[0].astype(jnp.float32)  # [F, h, w, 4]
+            x_cur = sample[0].astype(jnp.float32)
+            f_theta = (x_cur - self.beta[idx] * model_pred) / self.alpha[idx]
+            x0 = self.c_out[idx] * f_theta + self.c_skip[idx] * x_cur
+            if idx < self.num_steps - 1:
+                rng, r = jax.random.split(rng)
+                noise = jax.random.normal(r, x0.shape, x0.dtype)
+                sample = (self.alpha[idx + 1] * x0 + self.beta[idx + 1] * noise)[None].astype(
+                    self.unet.dtype
+                )
+
+        out_rgb = self._decode_latents(x0)
+
+        new_state = dataclasses.replace(
+            state, rng=rng, kv_caches=tuple(caches)
+        )
+        return new_state, out_rgb
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def prepare(
+        self, warmup_frames: np.ndarray, prompt_embeds: jnp.ndarray, seed: int = 2
+    ) -> Tuple[StreamState, np.ndarray]:
+        """warmup_frames: [8, H, W, 3] float32 in [-1, 1]."""
+        self.set_prompt(prompt_embeds)
+        state = self.init_state(seed)
+        state, out = self._jit_prepare(
+            state, jnp.asarray(warmup_frames), self._prompt_embeds
+        )
+        return state, np.asarray(out)
+
+    def __call__(
+        self, state: StreamState, frame: np.ndarray
+    ) -> Tuple[StreamState, jnp.ndarray]:
+        """frame: [H, W, 3] in [-1, 1]. Returns (state, output frame on device)."""
+        if self._prompt_embeds is None:
+            raise RuntimeError("call prepare() first")
+        return self._jit_step(state, jnp.asarray(frame), self._prompt_embeds)

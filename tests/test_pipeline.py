@@ -1,0 +1,85 @@
+"""End-to-end stream runtime tests on a tiny random-weight pipeline (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from live2diff_tpu.models.unet import UNet3DConditionModel, UNetConfig
+from live2diff_tpu.models.vae import TinyAutoencoder
+from live2diff_tpu.schedule import LCMSchedule
+from live2diff_tpu.stream.pipeline import StreamConfig, StreamDiffusionDepth
+from live2diff_tpu.stream.state_machine import init_window_state, mask_to_bias
+
+H = W = 64  # latent 8x8 (minimum: motion modules exist down to res/8)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    ucfg = UNetConfig(
+        block_out_channels=(8, 16, 16, 16), attention_head_dim=2,
+        cross_attention_dim=12, norm_num_groups=4, motion_num_attention_heads=2,
+    )
+    unet = UNet3DConditionModel(config=ucfg, dtype=jnp.float32)
+    sched = LCMSchedule.create(50, t_index_list=[30, 40])
+    scfg = StreamConfig(height=H, width=W, vae_scaling=1.0, cache_dtype=jnp.float32)
+
+    n = sched.num_steps
+    lh, lw = scfg.latent_height, scfg.latent_width
+    caches = ucfg.init_caches(lh, lw, n, dtype=jnp.float32)
+    mask, pe_idx, update_idx = init_window_state(n)
+    unet_params = unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((n, 1, lh, lw, 4)), jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, 7, 12)), jnp.zeros((n, 1, lh, lw, 4)),
+        caches, "stream", mask_to_bias(mask), pe_idx, update_idx,
+    )
+
+    vae = TinyAutoencoder(hidden=8)
+    vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
+    vae_encode = lambda x: vae.apply(vae_params, x, method=vae.encode)  # noqa: E731
+    vae_decode = lambda z: vae.apply(vae_params, z, method=vae.decode)  # noqa: E731
+
+    pipe = StreamDiffusionDepth(
+        unet, unet_params, sched, scfg, vae_encode, vae_decode, depth_fn=None
+    )
+    return pipe
+
+
+def test_prepare_and_stream(tiny_pipeline):
+    pipe = tiny_pipeline
+    rng = np.random.RandomState(0)
+    warmup = rng.rand(8, H, W, 3).astype(np.float32) * 2 - 1
+    prompt = jnp.asarray(rng.randn(1, 7, 12), dtype=jnp.float32)
+
+    state, warmup_out = pipe.prepare(warmup, prompt)
+    assert warmup_out.shape == (8, H, W, 3)
+    assert np.isfinite(warmup_out).all()
+    # warmup must fill the sink slots of every step row in every cache
+    c0 = np.asarray(state.kv_caches[0])
+    assert np.abs(c0[:, :, :, :8, :]).sum() > 0
+
+    outs = []
+    for t in range(4):
+        frame = rng.rand(H, W, 3).astype(np.float32) * 2 - 1
+        state, out = pipe(state, frame)
+        outs.append(np.asarray(out))
+    assert all(o.shape == (H, W, 3) for o in outs)
+    assert all(np.isfinite(o).all() for o in outs)
+    assert int(state.frame_idx) == 4
+    # outputs must vary frame to frame (stream state is advancing)
+    assert np.abs(outs[1] - outs[0]).max() > 1e-6
+
+
+def test_stream_step_is_deterministic_given_state(tiny_pipeline):
+    pipe = tiny_pipeline
+    rng = np.random.RandomState(1)
+    warmup = rng.rand(8, H, W, 3).astype(np.float32) * 2 - 1
+    prompt = jnp.asarray(rng.randn(1, 7, 12), dtype=jnp.float32)
+    frame = rng.rand(H, W, 3).astype(np.float32) * 2 - 1
+
+    state_a, _ = pipe.prepare(warmup, prompt, seed=7)
+    state_b, _ = pipe.prepare(warmup, prompt, seed=7)
+    _, out_a = pipe(state_a, frame)
+    _, out_b = pipe(state_b, frame)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0)
