@@ -1,0 +1,294 @@
+"""MiDaS DPT-hybrid depth estimator in Flax.
+
+The reference depends on the (absent) MiDaS submodule's ``DPTDepthModel``
+with backbone ``vitb_rn50_384``
+(/root/reference/live2diff/animatediff/models/depth_utils.py:11-32). Rebuilt
+here from the DPT architecture: a hybrid ResNetV2-50 (BiT-style: weight-
+standardised convs + GroupNorm) feeding a ViT-B/16 over the 24x24 grid, four
+reassembled feature taps (RN stage 1, RN stage 2, ViT block 9, ViT block 12)
+fused RefineNet-style into a 384x384 inverse-depth map, non-negative head.
+
+Channels-last throughout; intended to run in bfloat16 on TPU at 384x384
+once per frame (the reference runs it fp16 via TensorRT).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class DPTConfig:
+    image_size: int = 384
+    patch_grid: int = 24  # 384 / 16
+    vit_hidden: int = 768
+    vit_layers: int = 12
+    vit_heads: int = 12
+    vit_mlp: int = 3072
+    hooks: Tuple[int, int] = (8, 11)  # ViT blocks tapped (0-based)
+    resnet_layers: Tuple[int, int, int] = (3, 4, 9)
+    features: int = 256
+    non_negative: bool = True
+
+
+class StdConv(nn.Module):
+    """Weight-standardised conv (BiT), channels-last."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: str | int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_ch, self.features), self.param_dtype,
+        )
+        k32 = kernel.astype(jnp.float32)
+        mean = k32.mean(axis=(0, 1, 2), keepdims=True)
+        var = k32.var(axis=(0, 1, 2), keepdims=True)
+        kernel = ((k32 - mean) / jnp.sqrt(var + 1e-8)).astype(self.dtype)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel, window_strides=self.strides, padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class GNReLU(nn.Module):
+    groups: int = 32
+    param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="norm")(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class ResNetV2Bottleneck(nn.Module):
+    """Non-preact BiT bottleneck: StdConv+GN(+relu) x3, GN'd projection shortcut."""
+
+    out_channels: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mid = self.out_channels // 4
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        shortcut = x
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            shortcut = StdConv(self.out_channels, (1, 1), (self.stride, self.stride),
+                               padding=0, use_bias=False, name="downsample_conv", **kw)(x)
+            shortcut = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                                    param_dtype=self.param_dtype,
+                                    name="downsample_norm")(shortcut).astype(self.dtype)
+        h = StdConv(mid, (1, 1), padding=0, use_bias=False, name="conv1", **kw)(x)
+        h = GNReLU(name="norm1", **kw)(h)
+        h = StdConv(mid, (3, 3), (self.stride, self.stride), padding=1,
+                    use_bias=False, name="conv2", **kw)(h)
+        h = GNReLU(name="norm2", **kw)(h)
+        h = StdConv(self.out_channels, (1, 1), padding=0, use_bias=False, name="conv3", **kw)(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="norm3")(h).astype(self.dtype)
+        return nn.relu(h + shortcut)
+
+
+class ViTBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        head_dim = self.hidden // self.heads
+
+        def ln(name):
+            return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                param_dtype=self.param_dtype, name=name)
+
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = ln("norm1")(x).astype(self.dtype)
+        qkv = nn.Dense(3 * self.hidden, name="attn_qkv", **kw)(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], self.heads, head_dim)
+
+        attn = dot_product_attention(split(q), split(k), split(v))
+        attn = attn.reshape(*x.shape)
+        x = x + nn.Dense(self.hidden, name="attn_proj", **kw)(attn)
+
+        h = ln("norm2")(x).astype(self.dtype)
+        h = nn.Dense(self.mlp_dim, name="mlp_fc1", **kw)(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.hidden, name="mlp_fc2", **kw)(h)
+        return x + h
+
+
+class ResidualConvUnit(nn.Module):
+    """relu-conv-relu-conv residual unit (DPT scratch, bn=False)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.relu(x)
+        h = nn.Conv(self.features, (3, 3), padding=1, name="conv1", **kw)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, name="conv2", **kw)(h)
+        return x + h
+
+
+class FeatureFusionBlock(nn.Module):
+    """RefineNet-style fusion: (optional skip through RCU1) + RCU2 + 2x upsample + project."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, name="res_conv_unit1", **kw)(skip)
+        x = ResidualConvUnit(self.features, name="res_conv_unit2", **kw)(x)
+        b, h, w, c = x.shape
+        x = jax.image.resize(x.astype(jnp.float32), (b, h * 2, w * 2, c), "bilinear").astype(
+            self.dtype
+        )
+        x = nn.Conv(self.features, (1, 1), name="out_conv", **kw)(x)
+        return x
+
+
+class DPTDepthModel(nn.Module):
+    """vitb_rn50_384 hybrid DPT depth model: [B, 384, 384, 3] -> [B, 384, 384]."""
+
+    config: DPTConfig = DPTConfig()
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b = x.shape[0]
+
+        # --- ResNetV2-50 stem (/4) ---
+        h = StdConv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="stem_conv", **kw)(x)
+        h = GNReLU(name="stem_norm", **kw)(h)
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+
+        # --- stages (taps after stage 1 and 2) ---
+        stage_channels = (256, 512, 1024)
+        taps = []
+        for s, (n_blocks, ch) in enumerate(zip(cfg.resnet_layers, stage_channels)):
+            stride = 1 if s == 0 else 2
+            for i in range(n_blocks):
+                h = ResNetV2Bottleneck(
+                    ch, stride=stride if i == 0 else 1,
+                    name=f"stages_{s}_blocks_{i}", **kw,
+                )(h)
+            if s < 2:
+                taps.append(h)  # 96x96x256, 48x48x512
+        layer1, layer2 = taps
+
+        # --- ViT over the 24x24 grid ---
+        g = cfg.patch_grid
+        tokens = nn.Conv(cfg.vit_hidden, (1, 1), name="patch_embed_proj", **kw)(h)
+        tokens = tokens.reshape(b, g * g, cfg.vit_hidden)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.vit_hidden),
+                         self.param_dtype)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, g * g + 1, cfg.vit_hidden), self.param_dtype)
+        tokens = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (b, 1, cfg.vit_hidden)),
+                                  tokens], axis=1)
+        tokens = tokens + pos.astype(self.dtype)
+
+        vit_taps = {}
+        for i in range(cfg.vit_layers):
+            tokens = ViTBlock(cfg.vit_hidden, cfg.vit_heads, cfg.vit_mlp,
+                              name=f"vit_blocks_{i}", **kw)(tokens)
+            if i in cfg.hooks:
+                vit_taps[i] = tokens
+
+        def readout_project(t, name):
+            """'project' readout: fuse the cls token into every patch token."""
+            patch, cls_tok = t[:, 1:], t[:, :1]
+            fused = jnp.concatenate(
+                [patch, jnp.broadcast_to(cls_tok, patch.shape)], axis=-1
+            )
+            fused = nn.Dense(cfg.vit_hidden, name=f"{name}_readout", **kw)(fused)
+            fused = nn.gelu(fused, approximate=False)
+            return fused.reshape(b, g, g, cfg.vit_hidden)
+
+        layer3 = readout_project(vit_taps[cfg.hooks[0]], "postprocess3")
+        layer3 = nn.Conv(768, (1, 1), name="postprocess3_proj", **kw)(layer3)  # 24x24x768
+        layer4 = readout_project(vit_taps[cfg.hooks[1]], "postprocess4")
+        layer4 = nn.Conv(768, (1, 1), name="postprocess4_proj", **kw)(layer4)
+        layer4 = nn.Conv(768, (3, 3), strides=(2, 2), padding=1,
+                         name="postprocess4_down", **kw)(layer4)  # 12x12x768
+
+        # --- scratch: project all taps to `features`, fuse coarse->fine ---
+        feats = cfg.features
+        rn = lambda t, i: nn.Conv(  # noqa: E731
+            feats, (3, 3), padding=1, use_bias=False, name=f"layer{i}_rn", **kw
+        )(t)
+        l1, l2, l3, l4 = rn(layer1, 1), rn(layer2, 2), rn(layer3, 3), rn(layer4, 4)
+
+        path4 = FeatureFusionBlock(feats, name="refinenet4", **kw)(l4)           # 24
+        path3 = FeatureFusionBlock(feats, name="refinenet3", **kw)(path4, l3)    # 48
+        path2 = FeatureFusionBlock(feats, name="refinenet2", **kw)(path3, l2)    # 96
+        path1 = FeatureFusionBlock(feats, name="refinenet1", **kw)(path2, l1)    # 192
+
+        # --- head ---
+        h = nn.Conv(feats // 2, (3, 3), padding=1, name="head_conv1", **kw)(path1)
+        bh, hh, wh, ch = h.shape
+        h = jax.image.resize(h.astype(jnp.float32), (bh, hh * 2, wh * 2, ch),
+                             "bilinear").astype(self.dtype)  # 384
+        h = nn.Conv(32, (3, 3), padding=1, name="head_conv2", **kw)(h)
+        h = nn.relu(h)
+        h = nn.Conv(1, (1, 1), name="head_conv3", **kw)(h)
+        if cfg.non_negative:
+            h = nn.relu(h)
+        return h[..., 0]
+
+
+# ImageNet normalisation used by MiDaS preprocessing
+MIDAS_MEAN = (0.5, 0.5, 0.5)
+MIDAS_STD = (0.5, 0.5, 0.5)
+
+
+def midas_preprocess(frames_rgb_m1_1: jnp.ndarray) -> jnp.ndarray:
+    """Reference feeds [-1,1] frames straight into the detector at 384x384
+    (pipeline_stream_animation_depth.py:560-563); MiDaS's own normalisation
+    for dpt_hybrid is (x-0.5)/0.5 on [0,1] input, which is the identity on
+    [-1,1] inputs — so this is a no-op kept for documentation."""
+    return frames_rgb_m1_1
