@@ -106,7 +106,15 @@ class TemporalAttention(nn.Module):
         def split_heads(x):
             return x.reshape(*x.shape[:-1], heads, dim_head)
 
-        if mode == "warmup":
+        if mode == "clip":
+            # training mode: plain bidirectional temporal attention over the
+            # clip, no cache interaction (AnimateDiff-style motion training)
+            q = q + pe_q[None, None, :f]
+            k = k + pe_k[None, None, :f]
+            v = v + pe_v[None, None, :f]
+            out = dot_product_attention(split_heads(q), split_heads(k), split_heads(v))
+            new_cache = kv_cache
+        elif mode == "warmup":
             # cache the PE-free K/V of the warmup frames at slots 0..f-1
             new_cache = write_kv_warmup(
                 kv_cache, k[0].astype(kv_cache.dtype), v[0].astype(kv_cache.dtype), warmup_step_idx
