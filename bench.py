@@ -1,0 +1,138 @@
+"""Benchmark: streaming FPS of the full pipeline on one TPU chip.
+
+Protocol mirrors the reference's speed table measurement
+(/root/reference/README.md:43-50, pipeline_stream_animation_depth.py:626-659):
+per-frame wall-clock around the complete step (preprocess -> VAE encode ->
+depth -> stream-batch UNet -> LCM -> VAE decode), 512x512, 2 denoising
+steps, TinyVAE + MiDaS DPT-hybrid, reported as EMA(0.9) + mean/std.
+Baseline to beat: 16.43 FPS (RTX 4090 + TensorRT).
+
+Weights are randomly initialised (no checkpoints in this environment);
+FLOPs, memory traffic, and graph structure are identical to the real model,
+so timing is representative.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 16.43  # reference: 512x512, 2 steps, TensorRT, RTX 4090
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--warmup-iters", type=int, default=4)
+    p.add_argument("--tiny", action="store_true", help="tiny CPU smoke mode")
+    p.add_argument("--no-depth", action="store_true")
+    p.add_argument("--steps", type=int, nargs="*", default=[30, 40],
+                   help="t_index_list (2 entries = reference speed-table setting)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from live2diff_tpu.builder import build_pipeline, encode_prompt_for_pipeline
+
+    if args.tiny:
+        height = width = 64
+        config = {
+            "num_inference_steps": 50,
+            "t_index_list": list(args.steps),
+            "noise_scheduler_kwargs": {},
+            "unet_additional_kwargs": {},
+        }
+        built = build_pipeline(
+            config, height=height, width=width, use_depth=False, dtype=jnp.float32,
+            unet_overrides=dict(
+                block_out_channels=(8, 16, 16, 16), attention_head_dim=2,
+                cross_attention_dim=768, norm_num_groups=4,
+                motion_num_attention_heads=2,
+            ),
+        )
+    else:
+        height, width = args.height, args.width
+        config = {
+            "num_inference_steps": 50,
+            "t_index_list": list(args.steps),
+            "noise_scheduler_kwargs": {
+                "num_train_timesteps": 1000, "beta_start": 0.00085,
+                "beta_end": 0.012, "beta_schedule": "linear",
+            },
+            "unet_additional_kwargs": {
+                "cond_mapping": True,
+                "motion_module_kwargs": {
+                    "num_attention_heads": 8,
+                    "temporal_position_encoding_max_len": 24,
+                    "attention_kwargs": {"window_size": 16, "sink_size": 8},
+                },
+            },
+        }
+        built = build_pipeline(
+            config, height=height, width=width,
+            use_depth=not args.no_depth, dtype=jnp.bfloat16,
+        )
+
+    stream = built.stream
+    prompt = encode_prompt_for_pipeline(built, "masterpiece, best quality, a benchmark")
+
+    rng = np.random.RandomState(0)
+    warmup_frames = (rng.rand(8, height, width, 3).astype(np.float32)) * 2 - 1
+
+    t0 = time.time()
+    state, _ = stream.prepare(warmup_frames, prompt)
+    prepare_s = time.time() - t0
+
+    # compile + warm the per-frame step
+    frame = rng.rand(height, width, 3).astype(np.float32) * 2 - 1
+    t0 = time.time()
+    for _ in range(args.warmup_iters):
+        state, out = stream(state, frame)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    # timed loop: new frame each iteration, synchronous per-frame timing
+    # (matches the reference's per-frame CUDA-event protocol)
+    times = []
+    ema = 0.0
+    for i in range(args.frames):
+        frame = rng.rand(height, width, 3).astype(np.float32) * 2 - 1
+        t0 = time.perf_counter()
+        state, out = stream(state, frame)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        ema = dt if i == 0 else 0.9 * ema + 0.1 * dt
+
+    mean = float(np.mean(times))
+    std = float(np.std(times))
+    fps = 1.0 / mean
+    print(
+        f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
+        f"frame={mean*1000:.2f}±{std*1000:.2f}ms ema={ema*1000:.2f}ms "
+        f"fps={fps:.2f} (ema fps={1/ema:.2f})",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": f"fps_{width}x{height}_{len(args.steps)}steps",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

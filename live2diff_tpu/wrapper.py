@@ -1,0 +1,160 @@
+"""StreamV2VWrapper: the user-facing streaming video-to-video API.
+
+Public-surface parity with the reference's
+``StreamAnimateDiffusionDepthWrapper`` (/root/reference/live2diff/utils/
+wrapper.py:17-248): construct from a style config, ``prepare(prompt,
+warmup_frames)`` once, then ``img2img(frame)`` / ``__call__`` per frame.
+
+TPU-native differences (by design, not omission):
+* acceleration is always "on": the per-frame step is one pre-compiled XLA
+  program — there is no eager/xformers/TensorRT switch to pick;
+* the engine-cache dirs become XLA's persistent compilation cache
+  (enable_compilation_cache below), keyed by program, not by model-prefix
+  strings;
+* LoRA/DreamBooth/TinyVAE are parameter transforms done at build time.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Literal, Optional, Union
+
+import numpy as np
+from PIL import Image
+
+from .builder import BuiltPipeline, build_pipeline, encode_prompt_for_pipeline
+from .utils.filter import SimilarImageFilter
+from .utils.image import postprocess_image, preprocess_image
+
+WARMUP_FRAMES = 8
+
+
+def enable_compilation_cache(cache_dir: str = "engines/xla_cache") -> None:
+    """Persistent XLA compilation cache (the TensorRT-engine-dir equivalent)."""
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+class StreamV2VWrapper:
+    def __init__(
+        self,
+        config_path: Union[str, Dict],
+        num_inference_steps: Optional[int] = None,
+        t_index_list: Optional[List[int]] = None,
+        strength: Optional[float] = None,
+        lora_dict: Optional[Dict[str, float]] = None,
+        output_type: Literal["pil", "pt", "np", "latent"] = "pil",
+        height: int = 512,
+        width: int = 512,
+        use_tiny_vae: bool = True,
+        use_depth: bool = True,
+        use_text_encoder: bool = True,
+        do_add_noise: bool = True,
+        enable_similar_image_filter: bool = False,
+        similar_image_filter_threshold: float = 0.98,
+        similar_image_filter_max_skip_frame: int = 10,
+        seed: int = 42,
+        engine_dir: str = "engines",
+        dtype="bfloat16",
+        unet_overrides: Optional[Dict] = None,
+    ):
+        import jax.numpy as jnp
+
+        enable_compilation_cache(os.path.join(engine_dir, "xla_cache"))
+        self.height, self.width = height, width
+        self.output_type = output_type
+        self.seed = seed
+
+        self.built: BuiltPipeline = build_pipeline(
+            config_path,
+            height=height,
+            width=width,
+            num_inference_steps=num_inference_steps,
+            t_index_list=t_index_list,
+            strength=strength,
+            use_tiny_vae=use_tiny_vae,
+            use_depth=use_depth,
+            use_text_encoder=use_text_encoder,
+            dtype=getattr(jnp, str(dtype)) if isinstance(dtype, str) else dtype,
+            do_add_noise=do_add_noise,
+            lora_dict=lora_dict,
+            unet_overrides=unet_overrides,
+        )
+        if self.built.missing_artifacts:
+            print(
+                f"[live2diff-tpu] {len(self.built.missing_artifacts)} missing weight "
+                f"artifacts (running randomly initialised): "
+                f"{list(self.built.missing_artifacts)[:4]}..."
+            )
+        self.stream = self.built.stream
+        self.batch_size = self.built.schedule.num_steps
+
+        self.similar_filter = (
+            SimilarImageFilter(similar_image_filter_threshold,
+                               similar_image_filter_max_skip_frame)
+            if enable_similar_image_filter else None
+        )
+        self._state = None
+        self._warmup_buffer: List[np.ndarray] = []
+        self._prev_output = None
+        self.inference_time_ema = 0.0
+        self.inference_time_list: List[float] = []
+
+    # ------------------------------------------------------------------
+
+    def prepare(self, prompt: str, warmup_frames: np.ndarray) -> np.ndarray:
+        """warmup_frames: [8, H, W, 3] uint8/float or list of images."""
+        frames = np.stack([
+            preprocess_image(f, self.height, self.width) for f in warmup_frames
+        ])
+        text = self.built.prompt_template.replace("{}", prompt) if (
+            "{}" in self.built.prompt_template
+        ) else f"{self.built.prompt_template} {prompt}"
+        embeds = encode_prompt_for_pipeline(self.built, text)
+        self._state, out = self.stream.prepare(frames, embeds, seed=self.seed)
+        return postprocess_image(out, self.output_type)
+
+    def update_prompt(self, prompt: str) -> None:
+        embeds = encode_prompt_for_pipeline(self.built, prompt)
+        self.stream.set_prompt(embeds)
+
+    def img2img(self, image) -> Union[Image.Image, np.ndarray]:
+        if self._state is None:
+            raise RuntimeError("call prepare() with 8 warmup frames first")
+        t0 = time.perf_counter()
+        frame = preprocess_image(image, self.height, self.width)
+        if self.similar_filter is not None:
+            filtered = self.similar_filter(frame)
+            if filtered is None and self._prev_output is not None:
+                time.sleep(self.inference_time_ema)
+                return self._prev_output
+        self._state, out = self.stream(self._state, frame)
+        out = np.asarray(out)
+        dt = time.perf_counter() - t0
+        self.inference_time_ema = (
+            dt if not self.inference_time_list else
+            0.9 * self.inference_time_ema + 0.1 * dt
+        )
+        self.inference_time_list.append(dt)
+        result = postprocess_image(out, self.output_type)
+        self._prev_output = result
+        return result
+
+    __call__ = img2img
+
+    # timing report matching the reference CLI printout (test.py:201-205)
+    def timing_summary(self) -> Dict[str, float]:
+        times = np.asarray(self.inference_time_list[1:] or [0.0])
+        return {
+            "ema_s": self.inference_time_ema,
+            "mean_s": float(times.mean()),
+            "std_s": float(times.std()),
+            "fps": float(1.0 / times.mean()) if times.mean() > 0 else 0.0,
+        }
