@@ -209,15 +209,16 @@ def build_pipeline(
         else:
             vae_params = _random_params_like(vae_shapes, seed=seed + 1)
 
-    vae_encode = lambda x: vae.apply(  # noqa: E731
-        vae_params, x.astype(dtype), method=vae.encode
+    # (params, x) signatures: weights are jit arguments, never baked constants
+    vae_encode = lambda p, x: vae.apply(  # noqa: E731
+        p, x.astype(dtype), method=vae.encode
     ).astype(jnp.float32)
-    vae_decode = lambda z: vae.apply(  # noqa: E731
-        vae_params, z.astype(dtype), method=vae.decode
+    vae_decode = lambda p, z: vae.apply(  # noqa: E731
+        p, z.astype(dtype), method=vae.decode
     ).astype(jnp.float32)
 
     # ---- depth ----------------------------------------------------------
-    depth_model = depth_fn = None
+    depth_model = depth_fn = depth_params = None
     if use_depth:
         depth_model = DPTDepthModel(dtype=dtype, param_dtype=jnp.float32)
         depth_shapes = jax.eval_shape(
@@ -232,8 +233,8 @@ def build_pipeline(
         else:
             missing.append(str(dpt_path))
             depth_params = _random_params_like(depth_shapes, seed=seed + 2)
-        depth_fn = lambda x: depth_model.apply(  # noqa: E731
-            depth_params, x.astype(dtype)
+        depth_fn = lambda p, x: depth_model.apply(  # noqa: E731
+            p, x.astype(dtype)
         ).astype(jnp.float32)
 
     # ---- text encoder ----------------------------------------------------
@@ -259,7 +260,8 @@ def build_pipeline(
             missing.append(f"{base_path}/tokenizer")
 
     stream = StreamDiffusionDepth(
-        unet, unet_params, schedule, scfg, vae_encode, vae_decode, depth_fn
+        unet, unet_params, schedule, scfg, vae_encode, vae_decode, depth_fn,
+        vae_params=vae_params, depth_params=depth_params,
     )
     return BuiltPipeline(
         stream=stream,

@@ -71,17 +71,23 @@ class StreamDiffusionDepth:
         unet_params,
         schedule: LCMSchedule,
         stream_config: StreamConfig,
-        vae_encode: Callable[[jnp.ndarray], jnp.ndarray],
-        vae_decode: Callable[[jnp.ndarray], jnp.ndarray],
-        depth_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+        vae_encode: Callable[[Any, jnp.ndarray], jnp.ndarray],
+        vae_decode: Callable[[Any, jnp.ndarray], jnp.ndarray],
+        depth_fn: Optional[Callable[[Any, jnp.ndarray], jnp.ndarray]] = None,
+        vae_params: Any = None,
+        depth_params: Any = None,
     ):
+        """vae_encode/vae_decode/depth_fn take (params, x): weights flow
+        through jit as ARGUMENTS, never as captured constants — capturing
+        them would bake ~GBs of weights into the lowered program."""
         self.unet = unet
-        self.unet_params = unet_params
         self.schedule = schedule
         self.cfg = stream_config
         self.vae_encode = vae_encode
         self.vae_decode = vae_decode
         self.depth_fn = depth_fn
+        # one param bundle threaded through both compiled programs
+        self.params = {"unet": unet_params, "vae": vae_params, "depth": depth_params}
 
         n = schedule.num_steps
         self.num_steps = n
@@ -93,7 +99,7 @@ class StreamDiffusionDepth:
         self.sub_timesteps = jnp.asarray(schedule.sub_timesteps, dtype=jnp.int32)
 
         self._prompt_embeds: Optional[jnp.ndarray] = None
-        self._jit_step = jax.jit(self._frame_step, donate_argnums=(0,))
+        self._jit_step = jax.jit(self._frame_step, donate_argnums=(1,))
         self._jit_prepare = jax.jit(self._warmup_denoise)
 
     # ------------------------------------------------------------------
@@ -130,13 +136,13 @@ class StreamDiffusionDepth:
     # latent codecs (traced into both compiled programs)
     # ------------------------------------------------------------------
 
-    def _encode_image(self, rng, frames_rgb: jnp.ndarray) -> jnp.ndarray:
+    def _encode_image(self, params, rng, frames_rgb: jnp.ndarray) -> jnp.ndarray:
         """[F, H, W, 3] in [-1, 1] -> noised latents [F, h, w, 4] at t0."""
-        latents = self.vae_encode(frames_rgb) * self.cfg.vae_scaling
+        latents = self.vae_encode(params["vae"], frames_rgb) * self.cfg.vae_scaling
         noise = jax.random.normal(rng, latents.shape, dtype=latents.dtype)
         return self.alpha[0] * latents + self.beta[0] * noise
 
-    def _encode_depth(self, frames_rgb: jnp.ndarray) -> jnp.ndarray:
+    def _encode_depth(self, params, frames_rgb: jnp.ndarray) -> jnp.ndarray:
         """[F, H, W, 3] -> depth-conditioned latents [F, h, w, 4].
 
         MiDaS at 384x384 -> min-max normalise over the batch -> 3-channel
@@ -150,15 +156,15 @@ class StreamDiffusionDepth:
             )
         f, H, W, _ = frames_rgb.shape
         depth_in = jax.image.resize(frames_rgb, (f, 384, 384, 3), "bilinear")
-        depth = self.depth_fn(depth_in)  # [F, 384, 384]
+        depth = self.depth_fn(params["depth"], depth_in)  # [F, 384, 384]
         dmin, dmax = depth.min(), depth.max()
         depth = (depth - dmin) / (dmax - dmin + 1e-6)
         depth3 = jnp.repeat(depth[..., None], 3, axis=-1) * 2.0 - 1.0
         depth3 = jax.image.resize(depth3, (f, H, W, 3), "bilinear")
-        return self.vae_encode(depth3) * self.cfg.vae_scaling
+        return self.vae_encode(params["vae"], depth3) * self.cfg.vae_scaling
 
-    def _decode_latents(self, x0: jnp.ndarray) -> jnp.ndarray:
-        img = self.vae_decode(x0 / self.cfg.vae_scaling)
+    def _decode_latents(self, params, x0: jnp.ndarray) -> jnp.ndarray:
+        img = self.vae_decode(params["vae"], x0 / self.cfg.vae_scaling)
         return jnp.clip(img, -1.0, 1.0)
 
     # ------------------------------------------------------------------
@@ -175,12 +181,12 @@ class StreamDiffusionDepth:
     # compiled programs
     # ------------------------------------------------------------------
 
-    def _unet_apply(self, x_t, depth, state: StreamState, prompt_embeds):
+    def _unet_apply(self, params, x_t, depth, state: StreamState, prompt_embeds):
         sample = x_t[:, None].astype(self.unet.dtype)  # [n, 1, h, w, 4]
         depth5 = depth[:, None].astype(self.unet.dtype)
         bias = mask_to_bias(state.attn_mask, dtype=jnp.float32)
         out, new_caches = self.unet.apply(
-            self.unet_params,
+            params["unet"],
             sample,
             self.sub_timesteps,
             prompt_embeds.astype(self.unet.dtype),
@@ -194,14 +200,15 @@ class StreamDiffusionDepth:
         return out[:, 0].astype(jnp.float32), new_caches
 
     def _frame_step(
-        self, state: StreamState, frame_rgb: jnp.ndarray, prompt_embeds: jnp.ndarray
+        self, params, state: StreamState, frame_rgb: jnp.ndarray,
+        prompt_embeds: jnp.ndarray,
     ) -> Tuple[StreamState, jnp.ndarray]:
         """One streamed frame: encode -> stream-batch UNet -> LCM -> decode."""
         cfg, n = self.cfg, self.num_steps
         rng, r_enc, r_buf = jax.random.split(state.rng, 3)
 
-        x_t_new = self._encode_image(r_enc, frame_rgb[None])  # [1, h, w, 4]
-        depth_new = self._encode_depth(frame_rgb[None])
+        x_t_new = self._encode_image(params, r_enc, frame_rgb[None])  # [1, h, w, 4]
+        depth_new = self._encode_depth(params, frame_rgb[None])
 
         if n > 1:
             x_t = jnp.concatenate([x_t_new, state.x_t_buffer], axis=0)
@@ -209,7 +216,7 @@ class StreamDiffusionDepth:
         else:
             x_t, depth = x_t_new, depth_new
 
-        model_pred, new_caches = self._unet_apply(x_t, depth, state, prompt_embeds)
+        model_pred, new_caches = self._unet_apply(params, x_t, depth, state, prompt_embeds)
         x0_batch = self._scheduler_step_batch(model_pred, x_t)
 
         mask, pe_idx, update_idx = update_window_state(
@@ -229,7 +236,7 @@ class StreamDiffusionDepth:
             x_t_buffer = state.x_t_buffer
             depth_buffer = state.depth_buffer
 
-        out_rgb = self._decode_latents(x0_out[None])[0]
+        out_rgb = self._decode_latents(params, x0_out[None])[0]
 
         new_state = StreamState(
             rng=rng,
@@ -244,7 +251,8 @@ class StreamDiffusionDepth:
         return new_state, out_rgb
 
     def _warmup_denoise(
-        self, state: StreamState, warmup_rgb: jnp.ndarray, prompt_embeds: jnp.ndarray
+        self, params, state: StreamState, warmup_rgb: jnp.ndarray,
+        prompt_embeds: jnp.ndarray,
     ) -> Tuple[StreamState, jnp.ndarray]:
         """Warmup program: encode the 8 warmup frames, run the denoise loop
         with bidirectional temporal attention, filling every step's cache.
@@ -254,8 +262,8 @@ class StreamDiffusionDepth:
         unrolls at trace time (n is 2..4).
         """
         rng, r_enc = jax.random.split(state.rng)
-        x_t = self._encode_image(r_enc, warmup_rgb)  # [F, h, w, 4]
-        depth = self._encode_depth(warmup_rgb)
+        x_t = self._encode_image(params, r_enc, warmup_rgb)  # [F, h, w, 4]
+        depth = self._encode_depth(params, warmup_rgb)
 
         caches = state.kv_caches
         sample = x_t[None].astype(self.unet.dtype)  # [1, F, h, w, 4]
@@ -266,7 +274,7 @@ class StreamDiffusionDepth:
         for idx in range(self.num_steps):
             t = self.sub_timesteps[idx][None]
             out, caches = self.unet.apply(
-                self.unet_params, sample, t, prompt1, depth5, caches,
+                params["unet"], sample, t, prompt1, depth5, caches,
                 "warmup", None, None, None, idx,
             )
             model_pred = out[0].astype(jnp.float32)  # [F, h, w, 4]
@@ -280,7 +288,7 @@ class StreamDiffusionDepth:
                     self.unet.dtype
                 )
 
-        out_rgb = self._decode_latents(x0)
+        out_rgb = self._decode_latents(params, x0)
 
         new_state = dataclasses.replace(
             state, rng=rng, kv_caches=tuple(caches)
@@ -298,7 +306,7 @@ class StreamDiffusionDepth:
         self.set_prompt(prompt_embeds)
         state = self.init_state(seed)
         state, out = self._jit_prepare(
-            state, jnp.asarray(warmup_frames), self._prompt_embeds
+            self.params, state, jnp.asarray(warmup_frames), self._prompt_embeds
         )
         return state, np.asarray(out)
 
@@ -308,4 +316,4 @@ class StreamDiffusionDepth:
         """frame: [H, W, 3] in [-1, 1]. Returns (state, output frame on device)."""
         if self._prompt_embeds is None:
             raise RuntimeError("call prepare() first")
-        return self._jit_step(state, jnp.asarray(frame), self._prompt_embeds)
+        return self._jit_step(self.params, state, jnp.asarray(frame), self._prompt_embeds)

@@ -37,11 +37,12 @@ def tiny_pipeline():
 
     vae = TinyAutoencoder(hidden=8)
     vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
-    vae_encode = lambda x: vae.apply(vae_params, x, method=vae.encode)  # noqa: E731
-    vae_decode = lambda z: vae.apply(vae_params, z, method=vae.decode)  # noqa: E731
+    vae_encode = lambda p, x: vae.apply(p, x, method=vae.encode)  # noqa: E731
+    vae_decode = lambda p, z: vae.apply(p, z, method=vae.decode)  # noqa: E731
 
     pipe = StreamDiffusionDepth(
-        unet, unet_params, sched, scfg, vae_encode, vae_decode, depth_fn=None
+        unet, unet_params, sched, scfg, vae_encode, vae_decode, depth_fn=None,
+        vae_params=vae_params,
     )
     return pipe
 
