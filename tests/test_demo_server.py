@@ -1,0 +1,138 @@
+"""Serving-layer test: WS frames in -> synthetic pipeline -> MJPEG out.
+
+Runs the demo server in-process (asyncio) with the synthetic loopback
+pipeline and drives it through real sockets, covering the WebSocket
+handshake/framing, the per-user queue, and the MJPEG stream.
+"""
+
+import asyncio
+import base64
+import io
+import json
+import os
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
+
+from server import App, DemoPipeline  # noqa: E402
+
+
+@pytest.fixture()
+def server_port():
+    port = 7891
+    pipeline = DemoPipeline("unused", 64, 64, synthetic=True)
+    app = App(pipeline)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    async def run():
+        srv = await asyncio.start_server(app.handle, "127.0.0.1", port)
+        started.set()
+        async with srv:
+            await srv.serve_forever()
+
+    t = threading.Thread(target=lambda: loop.run_until_complete(run()), daemon=True)
+    t.start()
+    assert started.wait(5)
+    yield port
+    # daemon thread + per-test port: let the loop die with the process
+    # (stopping it mid-serve_forever raises noisy teardown errors)
+
+
+def _ws_connect(port, uid):
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    key = base64.b64encode(os.urandom(16)).decode()
+    s.sendall(
+        (f"GET /api/ws/{uid} HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+         f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n\r\n").encode()
+    )
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += s.recv(4096)
+    assert b"101" in resp.split(b"\r\n")[0]
+    return s
+
+
+def _ws_send(s, payload, opcode):
+    mask = os.urandom(4)
+    header = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        header += bytes([0x80 | n])
+    else:
+        header += bytes([0x80 | 126]) + struct.pack(">H", n)
+    s.sendall(header + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload)))
+
+
+def _ws_recv(s):
+    hdr = s.recv(2)
+    op, ln = hdr[0] & 0xF, hdr[1] & 0x7F
+    if ln == 126:
+        ln = struct.unpack(">H", s.recv(2))[0]
+    data = b""
+    while len(data) < ln:
+        data += s.recv(ln - len(data))
+    return op, data
+
+
+def test_ws_mjpeg_roundtrip(server_port):
+    port = server_port
+    uid = "u1"
+    frames_out = []
+
+    def read_mjpeg():
+        c = socket.create_connection(("127.0.0.1", port), timeout=10)
+        c.sendall(f"GET /api/stream/{uid} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+        buf = b""
+        deadline = time.time() + 10
+        while len(frames_out) < 2 and time.time() < deadline:
+            chunk = c.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+            while True:
+                a, b = buf.find(b"\xff\xd8"), buf.find(b"\xff\xd9")
+                if a == -1 or b == -1:
+                    break
+                frames_out.append(buf[a:b + 2])
+                buf = buf[b + 2:]
+        c.close()
+
+    t = threading.Thread(target=read_mjpeg, daemon=True)
+    t.start()
+
+    s = _ws_connect(port, uid)
+    op, data = _ws_recv(s)
+    assert json.loads(data)["status"] == "connected"
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, :, 1] = 180
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+
+    sent = 0
+    deadline = time.time() + 10
+    while sent < 3 and time.time() < deadline:
+        op, data = _ws_recv(s)
+        if json.loads(data).get("status") == "send_frame":
+            _ws_send(s, json.dumps({"prompt": "x"}).encode(), 0x1)
+            _ws_send(s, jpeg, 0x2)
+            sent += 1
+    t.join(timeout=10)
+    s.close()
+
+    assert sent == 3
+    assert len(frames_out) >= 2
+    out = np.asarray(Image.open(io.BytesIO(frames_out[0])))
+    # synthetic pipeline inverts: green 180 -> ~75
+    assert out[:, :, 1].mean() < 100
