@@ -28,7 +28,9 @@ from server import App, DemoPipeline  # noqa: E402
 
 @pytest.fixture()
 def server_port():
-    port = 7891
+    with socket.socket() as probe:  # grab a free ephemeral port
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
     pipeline = DemoPipeline("unused", 64, 64, synthetic=True)
     app = App(pipeline)
     loop = asyncio.new_event_loop()
