@@ -50,40 +50,49 @@ def server_port():
     # (stopping it mid-serve_forever raises noisy teardown errors)
 
 
-def _ws_connect(port, uid):
-    s = socket.create_connection(("127.0.0.1", port), timeout=5)
-    key = base64.b64encode(os.urandom(16)).decode()
-    s.sendall(
-        (f"GET /api/ws/{uid} HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
-         f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n\r\n").encode()
-    )
-    resp = b""
-    while b"\r\n\r\n" not in resp:
-        resp += s.recv(4096)
-    assert b"101" in resp.split(b"\r\n")[0]
-    return s
+class _WSClient:
+    """Buffered client: WS frames may arrive coalesced with the 101 response."""
 
+    def __init__(self, port, uid):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+        self.buf = b""
+        key = base64.b64encode(os.urandom(16)).decode()
+        self.sock.sendall(
+            (f"GET /api/ws/{uid} HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+             f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n\r\n").encode()
+        )
+        while b"\r\n\r\n" not in self.buf:
+            self.buf += self.sock.recv(4096)
+        head, _, self.buf = self.buf.partition(b"\r\n\r\n")
+        assert b"101" in head.split(b"\r\n")[0]
 
-def _ws_send(s, payload, opcode):
-    mask = os.urandom(4)
-    header = bytes([0x80 | opcode])
-    n = len(payload)
-    if n < 126:
-        header += bytes([0x80 | n])
-    else:
-        header += bytes([0x80 | 126]) + struct.pack(">H", n)
-    s.sendall(header + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload)))
+    def _read(self, n):
+        while len(self.buf) < n:
+            self.buf += self.sock.recv(4096)
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
 
+    def send(self, payload, opcode):
+        mask = os.urandom(4)
+        header = bytes([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            header += bytes([0x80 | n])
+        else:
+            header += bytes([0x80 | 126]) + struct.pack(">H", n)
+        self.sock.sendall(
+            header + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        )
 
-def _ws_recv(s):
-    hdr = s.recv(2)
-    op, ln = hdr[0] & 0xF, hdr[1] & 0x7F
-    if ln == 126:
-        ln = struct.unpack(">H", s.recv(2))[0]
-    data = b""
-    while len(data) < ln:
-        data += s.recv(ln - len(data))
-    return op, data
+    def recv(self):
+        hdr = self._read(2)
+        op, ln = hdr[0] & 0xF, hdr[1] & 0x7F
+        if ln == 126:
+            ln = struct.unpack(">H", self._read(2))[0]
+        return op, self._read(ln)
+
+    def close(self):
+        self.sock.close()
 
 
 def test_ws_mjpeg_roundtrip(server_port):
@@ -112,8 +121,8 @@ def test_ws_mjpeg_roundtrip(server_port):
     t = threading.Thread(target=read_mjpeg, daemon=True)
     t.start()
 
-    s = _ws_connect(port, uid)
-    op, data = _ws_recv(s)
+    s = _WSClient(port, uid)
+    op, data = s.recv()
     assert json.loads(data)["status"] == "connected"
 
     img = np.zeros((32, 32, 3), np.uint8)
@@ -125,10 +134,10 @@ def test_ws_mjpeg_roundtrip(server_port):
     sent = 0
     deadline = time.time() + 10
     while sent < 3 and time.time() < deadline:
-        op, data = _ws_recv(s)
+        op, data = s.recv()
         if json.loads(data).get("status") == "send_frame":
-            _ws_send(s, json.dumps({"prompt": "x"}).encode(), 0x1)
-            _ws_send(s, jpeg, 0x2)
+            s.send(json.dumps({"prompt": "x"}).encode(), 0x1)
+            s.send(jpeg, 0x2)
             sent += 1
     t.join(timeout=10)
     s.close()
