@@ -1,0 +1,113 @@
+"""Tests for host-side utilities: image processing, filter, io, tokenizer."""
+
+import os
+import tempfile
+
+import numpy as np
+from PIL import Image
+
+from live2diff_tpu.utils.filter import SimilarImageFilter
+from live2diff_tpu.utils.image import (
+    frames_to_uint8,
+    postprocess_image,
+    preprocess_image,
+)
+from live2diff_tpu.utils.io import read_video_frames, write_video
+from live2diff_tpu.utils.timing import EmaTimer
+from live2diff_tpu.utils.tokenizer import CLIPTokenizer
+
+
+def test_preprocess_resize_and_range():
+    img = Image.new("RGB", (100, 80), (255, 0, 0))
+    out = preprocess_image(img, 64, 64)
+    assert out.shape == (64, 64, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    np.testing.assert_allclose(out[..., 0], 1.0, atol=0.02)  # red channel -> 1
+
+
+def test_postprocess_types():
+    x = np.zeros((2, 8, 8, 3), np.float32)
+    pils = postprocess_image(x, "pil")
+    assert len(pils) == 2 and isinstance(pils[0], Image.Image)
+    arr = postprocess_image(x, "np")
+    assert arr.dtype == np.uint8 and arr[0, 0, 0, 0] == 128  # (-1..1) 0 -> 127.5
+    pt = postprocess_image(x[0], "pt")
+    assert pt.shape == (8, 8, 3) and pt.dtype == np.float32
+
+
+def test_similar_filter_skips_duplicates():
+    f = SimilarImageFilter(threshold=0.98, max_skip_frame=3)
+    frame = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    assert f(frame) is not None  # first frame always passes
+    skips = sum(f(frame) is None for _ in range(20))
+    assert skips > 0  # identical frames get skipped probabilistically
+    # a different frame must always pass
+    other = -frame
+    assert f(other) is not None
+
+
+def test_video_io_roundtrip_gif_and_folder():
+    frames = (np.random.RandomState(0).rand(4, 16, 16, 3) * 255).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        gif = os.path.join(d, "v.gif")
+        write_video(gif, frames, fps=4)
+        back = read_video_frames(gif)
+        assert len(back) == 4 and back[0].shape == (16, 16, 3)
+
+        folder = os.path.join(d, "framesdir")
+        write_video(folder, frames)
+        back2 = read_video_frames(folder, max_frames=3)
+        assert len(back2) == 3
+        np.testing.assert_array_equal(back2[0], frames[0])
+
+
+def test_frames_to_uint8():
+    frames = [np.full((4, 4, 3), -1.0), np.full((4, 4, 3), 1.0)]
+    out = frames_to_uint8(frames)
+    assert out[0].max() == 0 and out[1].min() == 255
+
+
+def test_tokenizer_tiny_roundtrip():
+    tok = CLIPTokenizer.tiny(model_max_length=16)
+    ids = tok(["hello world", "x"])
+    assert ids.shape == (2, 16)
+    assert ids[0, 0] == tok.bos_token_id
+    assert tok.eos_token_id in ids[0]
+    # batch padding: short row padded with eos
+    assert (ids[1] == tok.pad_token_id).sum() > 8
+
+
+def test_tokenizer_real_vocab_layout(tmp_path):
+    """Build a mini vocab.json/merges.txt in the SD layout and load it."""
+    import json
+
+    from live2diff_tpu.utils.tokenizer import bytes_to_unicode
+
+    byte_syms = list(bytes_to_unicode().values())
+    vocab = {c: i for i, c in enumerate(byte_syms)}
+    for c in "abcdefgh":
+        vocab[c + "</w>"] = len(vocab)
+    vocab["ab"] = len(vocab)
+    vocab["ab</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    tdir = tmp_path / "tokenizer"
+    tdir.mkdir()
+    (tdir / "vocab.json").write_text(json.dumps(vocab))
+    (tdir / "merges.txt").write_text("#version: 0.2\na b\nab c</w>\n")
+
+    tok = CLIPTokenizer.from_pretrained(str(tmp_path))
+    ids = tok(["ab"])
+    # 'ab' -> merge a+b -> 'ab' then needs '</w>'... 'ab'+'</w>' can't merge
+    # further without 'ab</w>' rule from "ab c" — verify BPE ran without error
+    assert ids.shape == (1, 77)
+    assert ids[0, 0] == tok.bos_token_id
+
+
+def test_ema_timer():
+    t = EmaTimer(decay=0.5)
+    t.add("stage", 1.0)
+    t.add("stage", 0.0)
+    assert abs(t.ema["stage"] - 0.5) < 1e-9
+    s = t.summary()
+    assert s["stage"]["count"] == 2
