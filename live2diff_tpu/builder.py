@@ -44,7 +44,7 @@ def _random_params_like(shapes_tree, seed: int = 0, scale: float = 0.02):
     key = jax.random.PRNGKey(seed)
     keys = jax.random.split(key, len(leaves))
     out = [
-        jax.random.normal(k, l.shape, jnp.float32) * scale
+        (jax.random.normal(k, l.shape, jnp.float32) * scale).astype(l.dtype)
         for k, l in zip(keys, leaves)
     ]
     return jax.tree_util.tree_unflatten(treedef, out)
@@ -82,10 +82,14 @@ def build_pipeline(
     do_add_noise: bool = True,
     lora_dict: Optional[Dict[str, float]] = None,
     unet_overrides: Optional[Dict] = None,
+    param_dtype=None,
 ) -> BuiltPipeline:
     """Build the full streaming pipeline from a reference-style YAML config."""
     cfg: ConfigDict = load_config(config) if isinstance(config, str) else ConfigDict.wrap(config)
     missing = []
+    # inference default: store params in the compute dtype (bf16 on TPU) —
+    # fp32 masters double HBM for no inference benefit
+    param_dtype = param_dtype or dtype
 
     # ---- schedule -------------------------------------------------------
     num_inference_steps = num_inference_steps or cfg.get("num_inference_steps", 50)
@@ -103,7 +107,7 @@ def build_pipeline(
     unet_cfg = UNetConfig.from_reference_config(
         cfg.to_dict() if hasattr(cfg, "to_dict") else cfg, **(unet_overrides or {})
     )
-    unet = UNet3DConditionModel(config=unet_cfg, dtype=dtype, param_dtype=jnp.float32)
+    unet = UNet3DConditionModel(config=unet_cfg, dtype=dtype, param_dtype=param_dtype)
 
     scfg = StreamConfig(
         height=height, width=width,
@@ -187,7 +191,7 @@ def build_pipeline(
 
     # ---- VAE ------------------------------------------------------------
     if use_tiny_vae:
-        vae = TinyAutoencoder(dtype=dtype, param_dtype=jnp.float32)
+        vae = TinyAutoencoder(dtype=dtype, param_dtype=param_dtype)
         vae_shapes = jax.eval_shape(
             lambda: vae.init(jax.random.PRNGKey(1), jnp.zeros((1, height, width, 3), dtype))
         )
@@ -199,7 +203,7 @@ def build_pipeline(
             missing.append(str(taesd_path))
             vae_params = _random_params_like(vae_shapes, seed=seed + 1)
     else:
-        vae = AutoencoderKL(config=VAEConfig(), dtype=dtype, param_dtype=jnp.float32)
+        vae = AutoencoderKL(config=VAEConfig(), dtype=dtype, param_dtype=param_dtype)
         vae_shapes = jax.eval_shape(
             lambda: vae.init(jax.random.PRNGKey(1), jnp.zeros((1, height, width, 3), dtype))
         )
@@ -220,7 +224,7 @@ def build_pipeline(
     # ---- depth ----------------------------------------------------------
     depth_model = depth_fn = depth_params = None
     if use_depth:
-        depth_model = DPTDepthModel(dtype=dtype, param_dtype=jnp.float32)
+        depth_model = DPTDepthModel(dtype=dtype, param_dtype=param_dtype)
         depth_shapes = jax.eval_shape(
             lambda: depth_model.init(jax.random.PRNGKey(2), jnp.zeros((1, 384, 384, 3), dtype))
         )
@@ -241,7 +245,7 @@ def build_pipeline(
     text_encoder = text_params = tokenizer = None
     if use_text_encoder:
         text_encoder = CLIPTextModelWithFinalNorm(
-            config=CLIPTextConfig(), dtype=dtype, param_dtype=jnp.float32
+            config=CLIPTextConfig(), dtype=dtype, param_dtype=param_dtype
         )
         text_shapes = jax.eval_shape(
             lambda: text_encoder.init(jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))

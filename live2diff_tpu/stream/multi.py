@@ -1,0 +1,70 @@
+"""Multi-session serving: batch several independent streams on one chip.
+
+The reference serializes concurrent demo users through a single pipeline
+(/root/reference/demo/app.py:97-123 — cooperative asyncio, one user at a
+time). TPU-native design instead stacks the per-stream state along a leading
+session axis and vmaps the compiled frame step: S sessions cost one UNet
+dispatch with batch S*num_steps, amortising weight reads across sessions
+(the dominant cost at small batch is HBM weight traffic, so batching is
+near-free throughput).
+
+All sessions share model weights and shapes; prompts differ per session.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pipeline import StreamDiffusionDepth
+from .state import StreamState
+
+
+class MultiStream:
+    """S concurrent streams, one compiled batched step."""
+
+    def __init__(self, stream: StreamDiffusionDepth, num_sessions: int):
+        self.stream = stream
+        self.num_sessions = num_sessions
+        # vmap over (state, frame, prompt); params broadcast
+        self._jit_step = jax.jit(
+            jax.vmap(stream._frame_step, in_axes=(None, 0, 0, 0)),
+            donate_argnums=(1,),
+        )
+        self._jit_prepare = jax.jit(
+            jax.vmap(stream._warmup_denoise, in_axes=(None, 0, 0, 0)),
+        )
+        self._prompts = None
+
+    def init_states(self, seeds=None) -> StreamState:
+        seeds = seeds or range(self.num_sessions)
+        states = [self.stream.init_state(s) for s in seeds]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    def set_prompts(self, prompt_embeds: jnp.ndarray) -> None:
+        """[S, 77, 768] per-session prompt embeddings."""
+        n = self.stream.num_steps
+        self._prompts = jnp.broadcast_to(
+            prompt_embeds[:, None], (self.num_sessions, n, *prompt_embeds.shape[1:])
+        )
+
+    def prepare(self, warmup_frames: np.ndarray, prompt_embeds: jnp.ndarray,
+                seeds=None) -> Tuple[StreamState, np.ndarray]:
+        """warmup_frames: [S, 8, H, W, 3]; prompt_embeds: [S, 77, 768]."""
+        self.set_prompts(prompt_embeds)
+        states = self.init_states(seeds)
+        states, out = self._jit_prepare(
+            self.stream.params, states, jnp.asarray(warmup_frames), self._prompts
+        )
+        return states, np.asarray(out)
+
+    def __call__(self, states: StreamState, frames: np.ndarray):
+        """frames: [S, H, W, 3] -> (states, [S, H, W, 3] outputs on device)."""
+        if self._prompts is None:
+            raise RuntimeError("call prepare() first")
+        return self._jit_step(
+            self.stream.params, states, jnp.asarray(frames), self._prompts
+        )
