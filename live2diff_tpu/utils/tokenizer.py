@@ -73,6 +73,8 @@ class CLIPTokenizer:
         self.cache: Dict[str, str] = {
             self.bos_token: self.bos_token, self.eos_token: self.eos_token
         }
+        # textual-inversion / user-added tokens, matched before BPE
+        self.added_tokens: Dict[str, int] = {}
 
     # -- construction -------------------------------------------------------
 
@@ -143,13 +145,38 @@ class CLIPTokenizer:
         self.cache[token] = out
         return out
 
+    def add_token(self, token: str, token_id: int) -> None:
+        """Register an atomic (textual-inversion) token."""
+        self.added_tokens[token] = token_id
+        self.encoder[token] = token_id
+        self.decoder[token_id] = token
+
     def tokenize(self, text: str) -> List[int]:
         text = whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
-        for token in _FALLBACK_PATTERN.findall(text):
-            token_bytes = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            for bpe_token in self._bpe(token_bytes).split(" "):
-                ids.append(self.encoder.get(bpe_token, self.eos_token_id))
+        # split on added tokens first so they stay atomic
+        segments = [text]
+        for tok in sorted(self.added_tokens, key=len, reverse=True):
+            new_segments: List = []
+            for seg in segments:
+                if isinstance(seg, int):
+                    new_segments.append(seg)
+                    continue
+                parts = seg.split(tok.lower())
+                for i, part in enumerate(parts):
+                    if i:
+                        new_segments.append(self.added_tokens[tok])
+                    if part:
+                        new_segments.append(part)
+            segments = new_segments
+        for seg in segments:
+            if isinstance(seg, int):
+                ids.append(seg)
+                continue
+            for token in _FALLBACK_PATTERN.findall(seg):
+                token_bytes = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+                for bpe_token in self._bpe(token_bytes).split(" "):
+                    ids.append(self.encoder.get(bpe_token, self.eos_token_id))
         return ids
 
     # -- public API ---------------------------------------------------------
