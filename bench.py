@@ -46,6 +46,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     from live2diff_tpu.builder import build_pipeline, encode_prompt_for_pipeline
+    from live2diff_tpu.wrapper import enable_compilation_cache
+
+    if not args.tiny:
+        enable_compilation_cache()  # engines/xla_cache: skip ~minutes of recompiles
 
     if args.tiny:
         height = width = 64
