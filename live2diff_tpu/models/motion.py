@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import dot_product_attention, stream_window_attention
 from .layers import GEGLUFeedForward, sinusoidal_table
 
 KVCache = jnp.ndarray  # [steps, 2, HW, window, C]
@@ -133,26 +133,18 @@ class TemporalAttention(nn.Module):
                 v[:, :, 0].astype(kv_cache.dtype),
                 update_idx,
             )
-            k_full = new_cache[:, 0].astype(self.dtype)  # [steps, HW, window, C]
-            v_full = new_cache[:, 1].astype(self.dtype)
-
-            # gather PE: K/V by pe_idx rows, Q by its own slot's PE index
+            # gather PE rows: K/V by pe_idx, Q by its own slot's PE index
             k_pe = pe_k[pe_idx]  # [steps, window, C]
             v_pe = pe_v[pe_idx]
             q_pe_idx = jnp.take_along_axis(pe_idx, update_idx[:, None], axis=1)  # [steps, 1]
-            q_pe = pe_q[q_pe_idx]  # [steps, 1, C]
+            q_pe = pe_q[q_pe_idx][:, 0]  # [steps, C]
 
-            q = q + q_pe[:, None]  # [steps, HW, 1, C]
-            k_full = k_full + k_pe[:, None]
-            v_full = v_full + v_pe[:, None]
-
-            bias = None
-            if attn_bias is not None:
-                # [steps, window] -> broadcast to [steps, HW, heads, 1, window]
-                bias = attn_bias[:, None, None, None, :]
-            out = dot_product_attention(
-                split_heads(q), split_heads(k_full), split_heads(v_full), bias=bias
+            bias = attn_bias if attn_bias is not None else jnp.zeros(
+                (q.shape[0], self.window_size), jnp.float32
             )
+            out = stream_window_attention(
+                q[:, :, 0], new_cache, q_pe, k_pe, v_pe, bias, heads,
+            ).reshape(b, hw, 1, heads, dim_head)  # restore frame + head axes
         else:
             raise ValueError(f"unknown mode: {mode}")
 

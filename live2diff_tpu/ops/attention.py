@@ -25,10 +25,28 @@ import jax.numpy as jnp
 # materialised-logits budget above which the blockwise path kicks in
 _MAX_DENSE_LOGITS = 1 << 24  # 16M logits (~64MB fp32)
 _KV_CHUNK = 1024
+# sequence length from which the Pallas flash kernel takes over on TPU
+_FLASH_MIN_SEQ = 1024
+
+_BACKEND = None
+
+
+def _on_tpu() -> bool:
+    global _BACKEND
+    if _BACKEND is None:
+        try:
+            _BACKEND = jax.default_backend()
+        except Exception:
+            _BACKEND = "cpu"
+    return _BACKEND == "tpu"
 
 
 def _dense_attention(q, k, v, bias, scale):
-    logits = jnp.einsum("...qhd,...khd->...hqk", q, k).astype(jnp.float32) * scale
+    # bf16 MXU matmul with fp32 accumulation (preferred_element_type), never
+    # fp32 operands: fp32 matmuls run at 1/8 MXU rate on TPU
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
@@ -76,7 +94,7 @@ def _blockwise_attention(q, k, v, bias, scale, chunk: int = _KV_CHUNK):
     else:
         bias_c = None
 
-    q32 = q.astype(jnp.float32)
+    qs = jnp.swapaxes(q, -3, -2)  # [..., H, Sq, D], kept in input dtype for the MXU
     acc_shape = (*q.shape[:-3], q.shape[-2], q.shape[-3], q.shape[-1])  # [..., H, Sq, D]
     m0 = jnp.full((*q.shape[:-3], q.shape[-2], q.shape[-3]), -jnp.inf, jnp.float32)
     l0 = jnp.zeros_like(m0)
@@ -88,7 +106,9 @@ def _blockwise_attention(q, k, v, bias, scale, chunk: int = _KV_CHUNK):
             k_i, v_i, b_i = inputs
         else:
             (k_i, v_i), b_i = inputs, None
-        s = jnp.einsum("...qhd,...khd->...hqk", q32, k_i.astype(jnp.float32)) * scale
+        s = jnp.einsum(
+            "...hqd,...khd->...hqk", qs, k_i, preferred_element_type=jnp.float32
+        ) * scale
         if b_i is not None:
             s = s + b_i.astype(jnp.float32)
         m_new = jnp.maximum(m, s.max(axis=-1))
@@ -96,7 +116,8 @@ def _blockwise_attention(q, k, v, bias, scale, chunk: int = _KV_CHUNK):
         corr = jnp.exp(m - m_new)
         l_new = l * corr + p.sum(axis=-1)
         acc_new = acc * corr[..., None] + jnp.einsum(
-            "...hqk,...khd->...hqd", p, v_i.astype(jnp.float32)
+            "...hqk,...khd->...hqd", p.astype(v_i.dtype), v_i,
+            preferred_element_type=jnp.float32,
         )
         return (m_new, l_new, acc_new), None
 
@@ -104,6 +125,66 @@ def _blockwise_attention(q, k, v, bias, scale, chunk: int = _KV_CHUNK):
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), xs)
     out = acc / jnp.maximum(l, 1e-30)[..., None]  # [..., H, Sq, D]
     return jnp.swapaxes(out, -3, -2).astype(v.dtype)  # -> [..., Sq, H, D]
+
+
+def stream_window_attention(
+    q: jnp.ndarray,
+    kv_cache: jnp.ndarray,
+    pe_q: jnp.ndarray,
+    pe_k: jnp.ndarray,
+    pe_v: jnp.ndarray,
+    bias: jnp.ndarray,
+    heads: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Windowed temporal attention of one new frame over the streaming KV-cache.
+
+    The reference adds gathered positional encodings onto the cached K/V
+    before attending (/root/reference/live2diff/animatediff/models/
+    stream_motion_module.py:117-141). Done literally, that materialises two
+    PE-shifted copies of the entire cache every frame (~2x cache bytes of
+    extra HBM traffic per layer). Here the PE terms are factored out:
+
+        logits = q_full . k_cache  +  q_full . pe_k        (exact expansion)
+        out    = p . v_cache       +  p . pe_v
+
+    so the big einsums read the PE-free cache exactly once and the PE
+    corrections are tiny [HW, d] x [d, window] matmuls.
+
+    Args:
+      q: ``[steps, HW, C]`` current frame's queries (PE-free).
+      kv_cache: ``[steps, 2, HW, window, C]`` updated cache (new K/V already
+        written at ``update_idx``).
+      pe_q: ``[steps, C]`` query PE row (the slot's own PE).
+      pe_k, pe_v: ``[steps, window, C]`` gathered K/V PE rows.
+      bias: ``[steps, window]`` additive visibility bias.
+      heads: number of attention heads (C = heads * dim_head).
+
+    Returns ``[steps, HW, C]`` in q's dtype.
+    """
+    s, hw, c = q.shape
+    window = kv_cache.shape[-2]
+    dh = c // heads
+    scale = dh**-0.5 if scale is None else scale
+    dt = q.dtype
+
+    qh = (q + pe_q[:, None, :]).reshape(s, hw, heads, dh)
+    kc = kv_cache[:, 0].astype(dt).reshape(s, hw, window, heads, dh)
+    vc = kv_cache[:, 1].astype(dt).reshape(s, hw, window, heads, dh)
+    pkh = pe_k.astype(dt).reshape(s, window, heads, dh)
+    pvh = pe_v.astype(dt).reshape(s, window, heads, dh)
+
+    logits = jnp.einsum("sphd,spwhd->sphw", qh, kc, preferred_element_type=jnp.float32)
+    logits = logits + jnp.einsum(
+        "sphd,swhd->sphw", qh, pkh, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale + bias.astype(jnp.float32)[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+    out = jnp.einsum("sphw,spwhd->sphd", probs, vc, preferred_element_type=jnp.float32)
+    out = out + jnp.einsum(
+        "sphw,swhd->sphd", probs, pvh, preferred_element_type=jnp.float32
+    )
+    return out.astype(dt).reshape(s, hw, c)
 
 
 def dot_product_attention(
@@ -125,6 +206,23 @@ def dot_product_attention(
     """
     dim = q.shape[-1]
     scale = dim**-0.5 if scale is None else scale
+
+    # TPU + big self-attention: Pallas flash kernel (O(S) HBM traffic, VMEM
+    # online-softmax state). Covers the 64x64/32x32-latent spatial attention.
+    if (
+        _on_tpu()
+        and bias is None
+        and q.ndim == 4
+        and q.shape[-3] == k.shape[-3]
+        and k.shape[-3] >= _FLASH_MIN_SEQ
+        and q.shape[-3] % 256 == 0
+        and k.shape[-3] % 512 == 0
+    ):
+        from .flash_attention import flash_self_attention
+
+        qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))  # [B, H, S, D]
+        out = flash_self_attention(qt, kt, vt, scale=scale)
+        return jnp.swapaxes(out, 1, 2)
 
     batch = 1
     for s in q.shape[:-3]:

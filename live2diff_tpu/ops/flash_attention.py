@@ -1,0 +1,125 @@
+"""Pallas TPU flash attention for the UNet's spatial self-attention.
+
+The hot spatial self-attentions run at S = 4096 (64x64 latents) and S = 1024
+(32x32) with head_dim 40/80 — far too large to materialise the [H, S, S]
+logits in HBM (1 GB fp32 at S=4096), and the XLA blockwise-scan fallback in
+``ops/attention.py`` round-trips fp32 accumulators through HBM every chunk.
+This kernel keeps the whole online-softmax state (m, l, acc) in VMEM scratch
+and streams K/V tiles through the MXU, so HBM traffic is exactly
+q + k + v + out.
+
+Replaces what xformers' ``memory_efficient_attention`` / torch SDPA do for
+the reference (/root/reference/live2diff/animatediff/models/attention.py:543-560)
+— here as a first-party kernel instead of a vendored CUDA library.
+
+Layout contract: ``[B, H, S, D]`` (callers transpose from the model's
+``[B, S, H, D]``; XLA fuses that transpose into neighbouring ops). All block
+sizes are static; S must divide by the chosen blocks (the public wrapper
+asserts). fp32 softmax statistics, bf16 MXU matmuls with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# lane width of the m/l scratch rows (TPU vector lane count)
+_LANES = 128
+# "-inf" substitute: avoids NaN from exp(-inf - (-inf)) at masked-out rows
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_steps):
+    """One (batch, head, q-tile, kv-tile) grid cell of online-softmax attention."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [bq, D]
+    k = k_ref[0, 0]  # [bk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+
+    m_prev = m_ref[...]  # [bq, LANES] (all lanes equal)
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+    m_next = jnp.maximum(m_prev, m_curr)  # lane-broadcast
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])  # [bq, bk]
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    v = v_ref[0, 0]  # [bk, D]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, D]
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(ki == kv_steps - 1)
+    def _store():
+        l = l_ref[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_self_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Unmasked scaled-dot-product attention, ``[B, H, S, D]`` in and out."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+    kv_steps = sk // block_k
+
+    grid = (b, h, sq // block_q, kv_steps)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)

@@ -52,3 +52,31 @@ def test_blockwise_under_jit_and_grad_free_path():
     v = jnp.ones((1, 2048, 1, 8))
     out = jax.jit(dot_product_attention)(q, k, v)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+def test_flash_kernel_matches_dense_interpret():
+    """Pallas flash kernel == dense attention (interpret mode, runs on CPU)."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops.attention import _dense_attention
+    from live2diff_tpu.ops.flash_attention import flash_self_attention
+
+    rs = np.random.RandomState(0)
+    b, h, s, d = 2, 3, 1024, 40
+    q = jnp.asarray(rs.randn(b, h, s, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, h, s, d).astype(np.float32))
+    scale = d ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_self_attention(q, k, v, scale=scale, block_q=256, block_k=512)
+
+    # dense reference works in [B, S, H, D]
+    ref = _dense_attention(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        None, scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.swapaxes(ref, 1, 2)), atol=2e-5, rtol=2e-5
+    )
