@@ -18,9 +18,10 @@ streaming/warmup block files are an ONNX-export artifact, not semantics):
   (parity: ``StreamTemporalAttention``,
   /root/reference/live2diff/animatediff/models/stream_motion_module.py:9-213).
 
-Cache geometry: one array per attention layer, ``[steps, 2, HW, window, C]``
-(2 = K and V). Updates are ``dynamic_update_slice`` on donated buffers — no
-reallocation, no host round-trip, everything inside one compiled step.
+Cache geometry: one array per attention layer, ``[steps, 2, window, HW, C]``
+(2 = K and V; window-major so a slot write is one contiguous slab). Updates
+are ``dynamic_update_slice`` on donated buffers — no reallocation, no host
+round-trip, everything inside one compiled step.
 """
 
 from __future__ import annotations
@@ -34,20 +35,20 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention, stream_window_attention
 from .layers import GEGLUFeedForward, sinusoidal_table
 
-KVCache = jnp.ndarray  # [steps, 2, HW, window, C]
+KVCache = jnp.ndarray  # [steps, 2, window, HW, C] (window-major: slot write = contiguous slab)
 
 
 def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: jnp.ndarray) -> KVCache:
     """Scatter the new frame's K/V into per-step cache slots.
 
-    cache: [steps, 2, HW, window, C]; k, v: [steps, HW, C];
+    cache: [steps, 2, window, HW, C]; k, v: [steps, HW, C];
     update_idx: [steps] int32. Uses vmapped dynamic_update_slice so only the
-    written lane touches HBM (donation keeps it in place).
+    written slot touches HBM (donation keeps it in place).
     """
     kv = jnp.stack([k, v], axis=1)  # [steps, 2, HW, C]
 
     def row(c, kv_row, u):
-        return jax.lax.dynamic_update_slice(c, kv_row[:, :, None, :], (0, 0, u, 0))
+        return jax.lax.dynamic_update_slice(c, kv_row[:, None, :, :], (0, u, 0, 0))
 
     return jax.vmap(row)(cache, kv, update_idx)
 
@@ -57,7 +58,8 @@ def write_kv_warmup(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx) ->
 
     k, v: [HW, F, C] (F = number of warmup frames).
     """
-    kv = jnp.stack([k, v], axis=0)[None]  # [1, 2, HW, F, C]
+    kv = jnp.stack([k, v], axis=0)  # [2, HW, F, C]
+    kv = jnp.swapaxes(kv, 1, 2)[None]  # [1, 2, F, HW, C]
     return jax.lax.dynamic_update_slice(
         cache, kv.astype(cache.dtype), (step_idx, 0, 0, 0, 0)
     )

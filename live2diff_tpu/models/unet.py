@@ -11,11 +11,14 @@ Layout: channels-last video ``[B, F, H, W, C]``. In stream mode B is the
 denoising-step batch (stream batch, StreamDiffusion-style) and F == 1; in
 warmup mode B == 1 and F == warmup frames.
 
-KV-caches are a flat tuple, one ``[steps, 2, HW, window, C]`` array per
-temporal attention layer, threaded functionally through the blocks and
-returned updated. The flat index order is forward-traversal order (down
-blocks, then up blocks), matching the reference's ``motion_module_idx``
-assignment (unet_depth_streaming.py:252-281).
+KV-caches are a flat tuple, one ``[steps, 2, window, HW, C]`` array per
+temporal attention layer (window-major so a slot write is one contiguous
+slab and the Pallas stream-attention kernel can tile positions), threaded
+functionally through the blocks and returned updated. The flat index order
+is forward-traversal order (down blocks, then up blocks), matching the
+reference's ``motion_module_idx`` assignment (unet_depth_streaming.py:252-281;
+the reference's geometry is [steps, 2, HW, window, C] — same contents,
+transposed for TPU).
 """
 
 from __future__ import annotations
@@ -93,7 +96,7 @@ class UNetConfig:
         for channels, res in self.motion_module_layout():
             hw = (latent_height // res) * (latent_width // res)
             for _ in range(self.caches_per_module):
-                shapes.append((num_steps, 2, hw, self.window_size, channels))
+                shapes.append((num_steps, 2, self.window_size, hw, channels))
         return tuple(shapes)
 
     def init_caches(

@@ -148,12 +148,14 @@ def stream_window_attention(
         logits = q_full . k_cache  +  q_full . pe_k        (exact expansion)
         out    = p . v_cache       +  p . pe_v
 
-    so the big einsums read the PE-free cache exactly once and the PE
-    corrections are tiny [HW, d] x [d, window] matmuls.
+    so the cache is read PE-free exactly once and the PE corrections are
+    tiny [HW, d] x [d, window] MXU matmuls. On TPU the cache-sized terms run
+    in the Pallas kernel (ops/stream_attention.py) — everything else stays
+    plain XLA.
 
     Args:
       q: ``[steps, HW, C]`` current frame's queries (PE-free).
-      kv_cache: ``[steps, 2, HW, window, C]`` updated cache (new K/V already
+      kv_cache: ``[steps, 2, window, HW, C]`` updated cache (new K/V already
         written at ``update_idx``).
       pe_q: ``[steps, C]`` query PE row (the slot's own PE).
       pe_k, pe_v: ``[steps, window, C]`` gathered K/V PE rows.
@@ -163,27 +165,48 @@ def stream_window_attention(
     Returns ``[steps, HW, C]`` in q's dtype.
     """
     s, hw, c = q.shape
-    window = kv_cache.shape[-2]
+    window = kv_cache.shape[2]
     dh = c // heads
     scale = dh**-0.5 if scale is None else scale
     dt = q.dtype
 
-    qh = (q + pe_q[:, None, :]).reshape(s, hw, heads, dh)
-    kc = kv_cache[:, 0].astype(dt).reshape(s, hw, window, heads, dh)
-    vc = kv_cache[:, 1].astype(dt).reshape(s, hw, window, heads, dh)
+    q_full = q + pe_q[:, None, :]
+    qh = q_full.reshape(s, hw, heads, dh)
     pkh = pe_k.astype(dt).reshape(s, window, heads, dh)
     pvh = pe_v.astype(dt).reshape(s, window, heads, dh)
 
-    logits = jnp.einsum("sphd,spwhd->sphw", qh, kc, preferred_element_type=jnp.float32)
-    logits = logits + jnp.einsum(
-        "sphd,swhd->sphw", qh, pkh, preferred_element_type=jnp.float32
-    )
-    logits = logits * scale + bias.astype(jnp.float32)[:, None, None, :]
-    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-    out = jnp.einsum("sphw,spwhd->sphd", probs, vc, preferred_element_type=jnp.float32)
-    out = out + jnp.einsum(
-        "sphw,swhd->sphd", probs, pvh, preferred_element_type=jnp.float32
-    )
+    # PE logits: real MXU matmul, [s, hw, heads, window] fp32 (few MB)
+    pe_logits = jnp.einsum("sphd,swhd->sphw", qh, pkh, preferred_element_type=jnp.float32)
+    extra = pe_logits * scale + bias.astype(jnp.float32)[:, None, None, :]
+
+    if _on_tpu() and (hw * heads) % 256 == 0:
+        from .stream_attention import stream_window_attention_kernel
+
+        out, probs = stream_window_attention_kernel(
+            q_full.reshape(s, hw * heads, dh),
+            kv_cache.reshape(s, 2, window, hw * heads, dh),
+            extra.reshape(s, hw * heads, window),
+            scale=float(scale),
+        )
+        out = out.reshape(s, hw, heads, dh).astype(jnp.float32)
+        probs = probs.reshape(s, hw, heads, window)
+    else:
+        kc = kv_cache[:, 0].astype(dt)  # [s, window, hw, C]
+        vc = kv_cache[:, 1].astype(dt)
+        kch = kc.reshape(s, window, hw, heads, dh)
+        vch = vc.reshape(s, window, hw, heads, dh)
+        logits = jnp.einsum(
+            "sphd,swphd->sphw", qh, kch, preferred_element_type=jnp.float32
+        )
+        logits = logits * scale + extra
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "sphw,swphd->sphd", probs.astype(dt), vch,
+            preferred_element_type=jnp.float32,
+        )
+
+    out = out + jnp.einsum("sphw,swhd->sphd", probs.astype(dt), pvh,
+                           preferred_element_type=jnp.float32)
     return out.astype(dt).reshape(s, hw, c)
 
 
@@ -215,8 +238,8 @@ def dot_product_attention(
         and q.ndim == 4
         and q.shape[-3] == k.shape[-3]
         and k.shape[-3] >= _FLASH_MIN_SEQ
-        and q.shape[-3] % 256 == 0
-        and k.shape[-3] % 512 == 0
+        and q.shape[-3] % 512 == 0
+        and k.shape[-3] % 1024 == 0
     ):
         from .flash_attention import flash_self_attention
 

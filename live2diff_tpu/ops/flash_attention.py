@@ -79,8 +79,8 @@ def flash_self_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Unmasked scaled-dot-product attention, ``[B, H, S, D]`` in and out."""
     b, h, sq, d = q.shape

@@ -26,7 +26,7 @@ class StreamState:
     attn_mask: jnp.ndarray  # [steps, window] bool
     pe_idx: jnp.ndarray  # [steps, window] int32
     update_idx: jnp.ndarray  # [steps] int32
-    # per-layer temporal KV caches: [steps, 2, HW_l, window, C_l]
+    # per-layer temporal KV caches: [steps, 2, window, HW_l, C_l]
     kv_caches: Tuple[jnp.ndarray, ...]
     # stream-batch latent buffers for the n-1 in-flight frames
     x_t_buffer: Optional[jnp.ndarray]  # [steps-1, h, w, 4]

@@ -80,3 +80,33 @@ def test_flash_kernel_matches_dense_interpret():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(jnp.swapaxes(ref, 1, 2)), atol=2e-5, rtol=2e-5
     )
+
+
+def test_stream_window_kernel_matches_xla_interpret():
+    """Pallas stream-window kernel == XLA einsum fallback (interpret mode)."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    import live2diff_tpu.ops.attention as A
+
+    rs = np.random.RandomState(1)
+    s, hw, heads, dh, window = 2, 64, 4, 8, 16
+    c = heads * dh
+    q = jnp.asarray(rs.randn(s, hw, c).astype(np.float32))
+    cache = jnp.asarray(rs.randn(s, 2, window, hw, c).astype(np.float32))
+    pe_q = jnp.asarray(rs.randn(s, c).astype(np.float32))
+    pe_k = jnp.asarray(rs.randn(s, window, c).astype(np.float32))
+    pe_v = jnp.asarray(rs.randn(s, window, c).astype(np.float32))
+    bias = jnp.asarray((rs.rand(s, window) > 0.3).astype(np.float32) * -1e9)
+
+    ref = A.stream_window_attention(q, cache, pe_q, pe_k, pe_v, bias, heads)
+
+    # force the kernel route under the interpreter
+    old = A._BACKEND
+    A._BACKEND = "tpu"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = A.stream_window_attention(q, cache, pe_q, pe_k, pe_v, bias, heads)
+    finally:
+        A._BACKEND = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)

@@ -41,8 +41,8 @@ def test_motion_module_layout_counts():
     assert len(TINY.motion_module_layout()) == 20
     assert TINY.num_caches() == 40
     shapes = TINY.cache_shapes(16, 16, 2)
-    assert shapes[0] == (2, 2, 256, 16, 8)
-    assert shapes[-1] == (2, 2, 256, 16, 8)
+    assert shapes[0] == (2, 2, 16, 256, 8)  # [steps, kv, window, HW, C]
+    assert shapes[-1] == (2, 2, 16, 256, 8)
     # mid-resolution block: 16/4=4 -> hw=16... check one deep cache
     assert (2, 2, 16, 16, 16) in shapes
 
@@ -58,8 +58,8 @@ def test_unet_stream_forward(tiny_unet):
     assert all(c.shape == o.shape for c, o in zip(new_caches, caches))
     assert np.isfinite(np.asarray(out)).all()
     # caches must have been written at update_idx slots
-    c0 = np.asarray(new_caches[0])
-    assert np.abs(c0[0, :, :, 8, :]).sum() > 0  # row 0 writes slot 8
+    c0 = np.asarray(new_caches[0])  # [steps, kv, window, HW, C]
+    assert np.abs(c0[0, :, 8]).sum() > 0  # row 0 writes slot 8
 
 
 def test_unet_warmup_forward(tiny_unet):
@@ -74,9 +74,9 @@ def test_unet_warmup_forward(tiny_unet):
         None, None, None, 1,
     )
     assert out.shape == sample.shape
-    c0 = np.asarray(new_caches[0])
+    c0 = np.asarray(new_caches[0])  # [steps, kv, window, HW, C]
     # warmup writes slots 0..7 of step-row 1 only
-    assert np.abs(c0[1, :, :, :8, :]).sum() > 0
+    assert np.abs(c0[1, :, :8]).sum() > 0
     assert np.abs(c0[0]).sum() == 0
 
 

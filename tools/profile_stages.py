@@ -40,6 +40,8 @@ def main():
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--steps", type=int, nargs="*", default=[30, 40])
     p.add_argument("--trace", action="store_true", help="dump a jax.profiler trace of the fused step")
+    p.add_argument("--skip-unet", action="store_true",
+                   help="skip the standalone UNet jit (slowest compile); infer its cost as full-step minus codecs")
     args = p.parse_args()
 
     import jax
@@ -87,32 +89,45 @@ def main():
     x_t = jnp.zeros((n, lh, lw, 4), jnp.float32)
     d_lat = jnp.zeros((n, lh, lw, 4), jnp.float32)
 
-    def unet_only(p, x, d, st, emb):
-        return stream._unet_apply(p, x, d, st, emb)
-
-    unet_j = jax.jit(unet_only)
     emb = stream._prompt_embeds
 
     t_enc = timeit(enc, params, frame[None])
+    print(f"  vae_encode : {t_enc*1e3:8.2f} ms", flush=True)
     t_dec = timeit(dec, params, x_t[:1])
+    print(f"  vae_decode : {t_dec*1e3:8.2f} ms", flush=True)
     t_depth = timeit(depth, params, frame[None])
-    t_unet = timeit(unet_j, params, x_t, d_lat, state, emb)
+    print(f"  depth(DPT) : {t_depth*1e3:8.2f} ms  (includes VAE-encode of depth map)", flush=True)
 
-    # fused full step (uses non-donated call via python wrapper copy cost too)
-    def full(p, st, f, e):
-        return stream._frame_step(p, st, f, e)
+    t_unet = None
+    if not args.skip_unet:
+        def unet_only(p, x, d, st, emb):
+            return stream._unet_apply(p, x, d, st, emb)
 
-    full_j = jax.jit(full)
-    t_full = timeit(full_j, params, state, frame, emb)
+        unet_j = jax.jit(unet_only)
+        t_unet = timeit(unet_j, params, x_t, d_lat, state, emb)
+        print(f"  unet x{n}   : {t_unet*1e3:8.2f} ms", flush=True)
 
-    total = t_enc + t_dec + t_depth + t_unet
+    # fused step, donated like production (state is re-usable across iters
+    # because donation invalidates only the old buffer names, and timeit
+    # discards outputs -> reuse the returned state)
+    st = state
+    for _ in range(3):
+        st, out = stream._jit_step(params, st, frame, emb)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        st, out = stream._jit_step(params, st, frame, emb)
+    jax.block_until_ready(out)
+    t_full = (time.perf_counter() - t0) / iters
+
+    codecs = t_enc + t_dec + t_depth
     print(f"stage timings ({W}x{H}, {n} steps, bf16, TinyVAE, DPT-hybrid):")
-    print(f"  vae_encode : {t_enc*1e3:8.2f} ms")
-    print(f"  depth(DPT) : {t_depth*1e3:8.2f} ms  (includes VAE-encode of depth map)")
-    print(f"  unet x{n}   : {t_unet*1e3:8.2f} ms")
-    print(f"  vae_decode : {t_dec*1e3:8.2f} ms")
-    print(f"  sum        : {total*1e3:8.2f} ms ({1/total:.2f} fps)")
+    print(f"  codecs sum : {codecs*1e3:8.2f} ms")
+    if t_unet is not None:
+        print(f"  sum        : {(codecs+t_unet)*1e3:8.2f} ms")
     print(f"  fused step : {t_full*1e3:8.2f} ms ({1/t_full:.2f} fps)")
+    print(f"  implied unet+state: {(t_full-codecs)*1e3:8.2f} ms")
 
     if args.trace:
         with jax.profiler.trace("/tmp/jax_trace"):

@@ -1,0 +1,105 @@
+"""Op-level TPU profile of the fused frame step.
+
+Captures a jax.profiler trace of N streamed frames, then aggregates device
+XPlane events by op name and prints the top time consumers — the
+tool we use to find which UNet ops eat the frame budget (the TPU
+counterpart of the reference's TensorRT layer-time IProfiler,
+/root/reference/live2diff/acceleration/tensorrt/engine.py:130-140).
+
+Usage: python tools/trace_step.py [--frames 8] [--height 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--steps", type=int, nargs="*", default=[30, 40])
+    p.add_argument("--top", type=int, default=40)
+    p.add_argument("--out", default="/tmp/jax_trace_step")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from live2diff_tpu.builder import build_pipeline, encode_prompt_for_pipeline
+    from live2diff_tpu.wrapper import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    H, W = args.height, args.width
+    config = {
+        "num_inference_steps": 50,
+        "t_index_list": list(args.steps),
+        "noise_scheduler_kwargs": {
+            "num_train_timesteps": 1000, "beta_start": 0.00085,
+            "beta_end": 0.012, "beta_schedule": "linear",
+        },
+        "unet_additional_kwargs": {
+            "cond_mapping": True,
+            "motion_module_kwargs": {
+                "num_attention_heads": 8,
+                "temporal_position_encoding_max_len": 24,
+                "attention_kwargs": {"window_size": 16, "sink_size": 8},
+            },
+        },
+    }
+    built = build_pipeline(config, height=H, width=W, use_depth=True, dtype=jnp.bfloat16)
+    stream = built.stream
+    prompt = encode_prompt_for_pipeline(built, "trace")
+
+    rng = np.random.RandomState(0)
+    warmup = rng.rand(8, H, W, 3).astype(np.float32) * 2 - 1
+    state, _ = stream.prepare(warmup, prompt)
+
+    frame = rng.rand(H, W, 3).astype(np.float32) * 2 - 1
+    # compile + settle
+    for _ in range(3):
+        state, out = stream(state, frame)
+    jax.block_until_ready(out)
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.frames):
+            state, out = stream(state, frame)
+        jax.block_until_ready(out)
+
+    # ---- parse newest trace file ----
+    paths = sorted(
+        glob.glob(os.path.join(args.out, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    assert paths, f"no xplane.pb under {args.out}"
+    pd = jax.profiler.ProfileData.from_file(paths[-1])
+
+    per_op = collections.Counter()
+    total = 0.0
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                dur = ev.duration_ns
+                name = ev.name
+                per_op[name] += dur
+                total += dur
+    print(f"plane total event time: {total/1e6:.1f} ms over {args.frames} frames "
+          f"({total/1e6/args.frames:.2f} ms/frame if single-line)")
+    for name, ns in per_op.most_common(args.top):
+        print(f"{ns/1e6/args.frames:10.3f} ms/frame  {name[:120]}")
+
+
+if __name__ == "__main__":
+    main()
