@@ -32,25 +32,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, extra_ref, out_ref, probs_ref, *, scale):
+def _kernel(q_ref, k_ref, v_ref, extra_ref, out_ref, probs_ref, *, scale, window):
+    """Static unroll over the (tiny) window; only lane-dim reductions, which
+    Mosaic supports everywhere (cross-sublane multi_reductions do not lower)."""
     q = q_ref[0]  # [bp, dh] bf16
-    k = k_ref[0, 0]  # [window, bp, dh] bf16
-    v = v_ref[0, 0]  # [window, bp, dh] bf16
-    extra = extra_ref[0]  # [bp, window] fp32
 
-    # logits[w, p] = scale * sum_d q[p, d] * k[w, p, d]   (VPU, fp32 accumulate)
-    prod = (k * q[None]).astype(jnp.float32)  # [window, bp, dh]
-    logits = jnp.sum(prod, axis=-1) * scale  # [window, bp]
-    logits = logits + extra.T  # [window, bp]
+    # logits[p, w] = scale * sum_d q[p, d] * k[w, p, d]   (VPU, fp32 accumulate)
+    cols = [
+        jnp.sum((k_ref[0, 0, w] * q).astype(jnp.float32), axis=-1, keepdims=True)
+        for w in range(window)
+    ]
+    logits = jnp.concatenate(cols, axis=-1) * scale + extra_ref[0]  # [bp, window] f32
 
-    m = jnp.max(logits, axis=0, keepdims=True)  # [1, bp]
+    m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    l = jnp.sum(p, axis=0, keepdims=True)  # [1, bp]
-    p = p / l  # [window, bp] fp32
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [bp, window] fp32
 
-    out = jnp.sum((v.astype(jnp.float32) * p[:, :, None]), axis=0)  # [bp, dh] fp32
-    out_ref[0] = out.astype(out_ref.dtype)
-    probs_ref[0] = p.T  # [bp, window]
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # [bp, dh]
+    for w in range(window):
+        acc = acc + v_ref[0, 0, w].astype(jnp.float32) * p[:, w : w + 1]
+    out_ref[0] = acc.astype(out_ref.dtype)
+    probs_ref[0] = p
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_p"))
@@ -59,15 +61,20 @@ def stream_window_attention_kernel(
     cache: jnp.ndarray,  # [steps, 2, window, P, dh]
     extra: jnp.ndarray,  # [steps, P, window] fp32
     scale: float,
-    block_p: int = 512,
+    block_p: int = 0,
 ):
     s, p_total, dh = q_full.shape
     window = cache.shape[2]
+    if not block_p:
+        # K+V blocks are [window, block_p, dh] with the lane dim padded to a
+        # multiple of 128; keep the double-buffered working set inside the
+        # scoped-VMEM budget at every head size (dh 40/80 pad 128, 160 pads 256)
+        block_p = 512 if dh <= 64 else 256
     block_p = min(block_p, p_total)
     assert p_total % block_p == 0, (p_total, block_p)
     grid = (s, p_total // block_p)
 
-    kernel = functools.partial(_kernel, scale=scale)
+    kernel = functools.partial(_kernel, scale=scale, window=window)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -93,5 +100,6 @@ def stream_window_attention_kernel(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(q_full, cache, cache, extra)

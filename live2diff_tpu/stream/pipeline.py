@@ -205,6 +205,9 @@ class StreamDiffusionDepth:
     ) -> Tuple[StreamState, jnp.ndarray]:
         """One streamed frame: encode -> stream-batch UNet -> LCM -> decode."""
         cfg, n = self.cfg, self.num_steps
+        if frame_rgb.dtype == jnp.uint8:
+            # device-side preprocess: uint8 frames are 4x cheaper to upload
+            frame_rgb = frame_rgb.astype(jnp.float32) / 127.5 - 1.0
         rng, r_enc, r_buf = jax.random.split(state.rng, 3)
 
         x_t_new = self._encode_image(params, r_enc, frame_rgb[None])  # [1, h, w, 4]

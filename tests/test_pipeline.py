@@ -84,3 +84,29 @@ def test_stream_step_is_deterministic_given_state(tiny_pipeline):
     _, out_a = pipe(state_a, frame)
     _, out_b = pipe(state_b, frame)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0)
+
+
+def test_pipelined_client_matches_sync(tiny_pipeline):
+    """PipelinedStream.map must produce the same outputs as the sync loop,
+    in order, for both float32 and uint8 inputs."""
+    from live2diff_tpu.stream.client import PipelinedStream
+
+    pipe = tiny_pipeline
+    rs = np.random.RandomState(7)
+    prompt = jnp.asarray(rs.randn(1, 7, 12).astype(np.float32))
+    warmup = rs.rand(8, H, W, 3).astype(np.float32) * 2 - 1
+    frames8 = [(rs.rand(H, W, 3) * 255).astype(np.uint8) for _ in range(6)]
+
+    state, _ = pipe.prepare(warmup, prompt, seed=3)
+    sync_outs = []
+    for f in frames8:
+        state, out = pipe(state, f)
+        sync_outs.append(np.asarray(out))
+
+    state2, _ = pipe.prepare(warmup, prompt, seed=3)
+    ps = PipelinedStream(pipe, state2, max_in_flight=2)
+    pipe_outs = [np.asarray(o) for o in ps.map(iter(frames8))]
+
+    assert len(pipe_outs) == len(sync_outs)
+    for a, b in zip(sync_outs, pipe_outs):
+        np.testing.assert_allclose(a, b, atol=1e-5)
