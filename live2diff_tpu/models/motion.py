@@ -35,22 +35,26 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention, stream_window_attention
 from .layers import GEGLUFeedForward, sinusoidal_table
 
-KVCache = jnp.ndarray  # [steps, 2, window, HW, C] (window-major: slot write = contiguous slab)
+KVCache = jnp.ndarray  # [steps, 2, window, HW*heads, dim_head] (window-major, head-folded)
 
 
 def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: jnp.ndarray) -> KVCache:
     """Scatter the new frame's K/V into per-step cache slots.
 
-    cache: [steps, 2, window, HW, C]; k, v: [steps, HW, C];
-    update_idx: [steps] int32. Uses vmapped dynamic_update_slice so only the
-    written slot touches HBM (donation keeps it in place).
+    cache: [steps, 2, window, P, dh] (P = HW*heads); k, v: [steps, HW, C];
+    update_idx: [steps] int32. The per-step dynamic_update_slice loop is
+    unrolled (steps is 2..4) — vmap'ing it makes XLA emit a layout-normalising
+    copy of the whole cache, the unrolled form updates in place under
+    donation.
     """
-    kv = jnp.stack([k, v], axis=1)  # [steps, 2, HW, C]
-
-    def row(c, kv_row, u):
-        return jax.lax.dynamic_update_slice(c, kv_row[:, None, :, :], (0, u, 0, 0))
-
-    return jax.vmap(row)(cache, kv, update_idx)
+    steps, _, _, p_total, dh = cache.shape
+    kv = jnp.stack([k.reshape(steps, p_total, dh), v.reshape(steps, p_total, dh)],
+                   axis=1).astype(cache.dtype)  # [steps, 2, P, dh]
+    for i in range(steps):
+        cache = jax.lax.dynamic_update_slice(
+            cache, kv[i : i + 1, :, None], (i, 0, update_idx[i], 0, 0)
+        )
+    return cache
 
 
 def write_kv_warmup(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx) -> KVCache:
@@ -58,8 +62,10 @@ def write_kv_warmup(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx) ->
 
     k, v: [HW, F, C] (F = number of warmup frames).
     """
+    _, _, _, p_total, dh = cache.shape
+    f = k.shape[1]
     kv = jnp.stack([k, v], axis=0)  # [2, HW, F, C]
-    kv = jnp.swapaxes(kv, 1, 2)[None]  # [1, 2, F, HW, C]
+    kv = jnp.swapaxes(kv, 1, 2).reshape(2, f, p_total, dh)[None]  # [1, 2, F, P, dh]
     return jax.lax.dynamic_update_slice(
         cache, kv.astype(cache.dtype), (step_idx, 0, 0, 0, 0)
     )
@@ -129,12 +135,7 @@ class TemporalAttention(nn.Module):
         elif mode == "stream":
             # f == 1: write this frame's K/V into its per-step slot
             assert f == 1, "stream mode processes one frame per denoising step"
-            new_cache = write_kv_stream(
-                kv_cache,
-                k[:, :, 0].astype(kv_cache.dtype),
-                v[:, :, 0].astype(kv_cache.dtype),
-                update_idx,
-            )
+            new_cache = write_kv_stream(kv_cache, k[:, :, 0], v[:, :, 0], update_idx)
             # gather PE rows: K/V by pe_idx, Q by its own slot's PE index
             k_pe = pe_k[pe_idx]  # [steps, window, C]
             v_pe = pe_v[pe_idx]

@@ -91,12 +91,19 @@ class UNetConfig:
     def cache_shapes(
         self, latent_height: int, latent_width: int, num_steps: int
     ) -> Tuple[Tuple[int, ...], ...]:
-        """Shape of each KV-cache array, flat traversal order."""
+        """Shape of each KV-cache array, flat traversal order.
+
+        Stored head-folded: ``[steps, 2, window, HW*heads, dim_head]``. This
+        is the exact physical layout the Pallas stream-attention kernel
+        tiles over; storing it pre-folded avoids a tiled-layout reshape of
+        the whole cache (a real copy on TPU) every layer every frame.
+        """
+        h = self.motion_num_attention_heads
         shapes = []
         for channels, res in self.motion_module_layout():
             hw = (latent_height // res) * (latent_width // res)
             for _ in range(self.caches_per_module):
-                shapes.append((num_steps, 2, self.window_size, hw, channels))
+                shapes.append((num_steps, 2, self.window_size, hw * h, channels // h))
         return tuple(shapes)
 
     def init_caches(

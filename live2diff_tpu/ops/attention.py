@@ -155,8 +155,8 @@ def stream_window_attention(
 
     Args:
       q: ``[steps, HW, C]`` current frame's queries (PE-free).
-      kv_cache: ``[steps, 2, window, HW, C]`` updated cache (new K/V already
-        written at ``update_idx``).
+      kv_cache: ``[steps, 2, window, HW*heads, dim_head]`` updated cache
+        (new K/V already written at ``update_idx``; head-folded layout).
       pe_q: ``[steps, C]`` query PE row (the slot's own PE).
       pe_k, pe_v: ``[steps, window, C]`` gathered K/V PE rows.
       bias: ``[steps, window]`` additive visibility bias.
@@ -184,17 +184,15 @@ def stream_window_attention(
 
         out, probs = stream_window_attention_kernel(
             q_full.reshape(s, hw * heads, dh),
-            kv_cache.reshape(s, 2, window, hw * heads, dh),
+            kv_cache,
             extra.reshape(s, hw * heads, window),
             scale=float(scale),
         )
         out = out.reshape(s, hw, heads, dh).astype(jnp.float32)
         probs = probs.reshape(s, hw, heads, window)
     else:
-        kc = kv_cache[:, 0].astype(dt)  # [s, window, hw, C]
-        vc = kv_cache[:, 1].astype(dt)
-        kch = kc.reshape(s, window, hw, heads, dh)
-        vch = vc.reshape(s, window, hw, heads, dh)
+        kch = kv_cache[:, 0].astype(dt).reshape(s, window, hw, heads, dh)
+        vch = kv_cache[:, 1].astype(dt).reshape(s, window, hw, heads, dh)
         logits = jnp.einsum(
             "sphd,swphd->sphw", qh, kch, preferred_element_type=jnp.float32
         )

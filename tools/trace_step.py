@@ -85,20 +85,23 @@ def main():
     pd = jax.profiler.ProfileData.from_file(paths[-1])
 
     per_op = collections.Counter()
-    total = 0.0
+    per_line = {}
     for plane in pd.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
         for line in plane.lines:
+            total = 0.0
             for ev in line.events:
-                dur = ev.duration_ns
-                name = ev.name
-                per_op[name] += dur
-                total += dur
-    print(f"plane total event time: {total/1e6:.1f} ms over {args.frames} frames "
-          f"({total/1e6/args.frames:.2f} ms/frame if single-line)")
+                total += ev.duration_ns
+                if line.name == "XLA Ops":
+                    per_op[ev.name] += ev.duration_ns
+            if total:
+                per_line[line.name] = total
+    for name, ns in per_line.items():
+        print(f"line {name!r}: {ns/1e6/args.frames:.2f} ms/frame")
+    print(f"top ops ('XLA Ops' line, {args.frames} frames):")
     for name, ns in per_op.most_common(args.top):
-        print(f"{ns/1e6/args.frames:10.3f} ms/frame  {name[:120]}")
+        print(f"{ns/1e6/args.frames:10.3f} ms/frame  {name[:110]}")
 
 
 if __name__ == "__main__":
