@@ -99,8 +99,47 @@ class StreamDiffusionDepth:
         self.sub_timesteps = jnp.asarray(schedule.sub_timesteps, dtype=jnp.int32)
 
         self._prompt_embeds: Optional[jnp.ndarray] = None
-        self._jit_step = jax.jit(self._frame_step, donate_argnums=(1,))
-        self._jit_prepare = jax.jit(self._warmup_denoise)
+        self._jit_step = jax.jit(
+            self._frame_step,
+            donate_argnums=(1,),
+            **self._layout_pins(),
+        )
+        # donate the freshly-initialised state: warmup fills the caches in
+        # place instead of holding init + filled copies (2x ~3 GB) at once
+        self._jit_prepare = jax.jit(
+            self._warmup_denoise, donate_argnums=(1,), **self._layout_pins()
+        )
+
+    def _layout_pins(self) -> dict:
+        """Pin KV-cache jit I/O layouts to default major-to-minor on TPU.
+
+        Left to itself, XLA:TPU layout assignment gives the donated cache
+        args/outputs a lane-transposed layout (dh-major) while the Pallas
+        stream-attention kernel requires the default layout — inserting two
+        full-cache relayout copies per attention layer per frame (~22 ms at
+        512x512). Pinning the program boundary keeps the whole chain in the
+        kernel's layout.
+        """
+        try:
+            if jax.default_backend() != "tpu":
+                return {}
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            sharding = SingleDeviceSharding(jax.devices()[0])
+            default5 = Format(Layout(major_to_minor=(0, 1, 2, 3, 4)), sharding)
+
+            def fmt_state(leaf):
+                return default5 if getattr(leaf, "ndim", 0) == 5 else None
+
+            state_shapes = jax.eval_shape(lambda: self.init_state(0))
+            state_fmt = jax.tree_util.tree_map(fmt_state, state_shapes)
+            return {
+                "in_shardings": (None, state_fmt, None, None),
+                "out_shardings": (state_fmt, None),
+            }
+        except Exception:
+            return {}
 
     # ------------------------------------------------------------------
     # state creation
