@@ -206,6 +206,61 @@ class AutoencoderKL(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class FusedConv3x3(nn.Module):
+    """3x3 SAME conv with optionally fused bias/skip/ReLU.
+
+    Parameter pytree is identical to ``nn.Conv`` (kernel [3,3,Cin,Cout] +
+    bias [Cout]) so torch->flax checkpoint ingest is unchanged. On TPU at
+    streaming resolutions it dispatches to the Pallas kernel
+    (ops/conv.py) — XLA's own batch-1 64-channel conv schedule runs ~30x
+    off the memory bound; elsewhere it falls back to lax.conv.
+    """
+
+    features: int
+    relu: bool = False
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features),
+            self.param_dtype,
+        ).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            ).astype(self.dtype)
+        else:
+            bias = jnp.zeros((self.features,), self.dtype)
+
+        from ..ops.attention import _on_tpu
+
+        if (
+            _on_tpu()
+            and cin % 32 == 0
+            and self.features % 32 == 0
+            and x.shape[1] * x.shape[2] >= 128 * 128
+        ):
+            from ..ops.conv import conv3x3_fused
+
+            return conv3x3_fused(x, kernel, bias, skip=skip, relu=self.relu)
+
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        out = out + bias.astype(jnp.float32)
+        if skip is not None:
+            out = out + skip.astype(jnp.float32)
+        if self.relu:
+            out = nn.relu(out)
+        return out.astype(self.dtype)
+
+
 class TinyBlock(nn.Module):
     """conv-relu-conv-relu-conv + skip, fused relu (TAESD block)."""
 
@@ -216,14 +271,11 @@ class TinyBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = nn.Conv(self.n_out, (3, 3), padding=1, name="conv_0", **kw)(x)
-        h = nn.relu(h)
-        h = nn.Conv(self.n_out, (3, 3), padding=1, name="conv_2", **kw)(h)
-        h = nn.relu(h)
-        h = nn.Conv(self.n_out, (3, 3), padding=1, name="conv_4", **kw)(h)
+        h = FusedConv3x3(self.n_out, relu=True, name="conv_0", **kw)(x)
+        h = FusedConv3x3(self.n_out, relu=True, name="conv_2", **kw)(h)
         if x.shape[-1] != self.n_out:
             x = nn.Conv(self.n_out, (1, 1), use_bias=False, name="skip", **kw)(x)
-        return nn.relu(h + x)
+        return FusedConv3x3(self.n_out, relu=True, name="conv_4", **kw)(h, skip=x)
 
 
 class TinyEncoder(nn.Module):
@@ -272,8 +324,8 @@ class TinyDecoder(nn.Module):
             # nn.Upsample slot
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
             layer += 1
-            x = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False,
-                        name=f"layers_{layer}", **kw)(x)
+            x = FusedConv3x3(self.hidden, use_bias=False,
+                             name=f"layers_{layer}", **kw)(x)
             layer += 1
         x = TinyBlock(self.hidden, name=f"layers_{layer}", **kw)(x)
         layer += 1

@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: fused 3x3 stride-1 SAME conv (+bias +skip +ReLU).
+
+Motivation: the TAESD decoder runs six 3x3/64-channel convs at full 512x512
+resolution per frame. XLA's conv lowering for batch-1, 64-channel NHWC picks
+a space-to-depth schedule that costs ~2.9 ms per conv on v5e — ~30x off the
+memory bound. This kernel streams row-bands of the (pre-padded) input
+through VMEM with an explicit halo DMA and computes the conv as 9 shifted
+[rows*W, C] x [C, Co] MXU matmuls with fp32 accumulation, fusing bias, the
+residual skip, and ReLU into the same pass.
+
+Used by the TinyVAE (TAESD) blocks via ``models/vae.py``; parity with
+``nn.Conv`` is covered by an interpret-mode test.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_hbm, w_ref, b_ref, *rest, bh, width, cin, cout, relu, has_skip):
+    if has_skip:
+        skip_ref, o_ref, x_vmem, sem = rest
+    else:
+        o_ref, x_vmem, sem = rest
+        skip_ref = None
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * bh, bh + 2)], x_vmem, sem
+    )
+    copy.start()
+    copy.wait()
+
+    acc = jnp.zeros((bh * width, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = x_vmem[dy : dy + bh, dx : dx + width, :].reshape(bh * width, cin)
+            acc = acc + jnp.dot(
+                patch, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    acc = acc + b_ref[0].astype(jnp.float32)
+    out = acc.reshape(bh, width, cout)
+    if skip_ref is not None:
+        out = out + skip_ref[0].astype(jnp.float32)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "block_h"))
+def conv3x3_fused(
+    x: jnp.ndarray,  # [B, H, W, Cin]
+    w: jnp.ndarray,  # [3, 3, Cin, Cout]
+    bias: jnp.ndarray,  # [Cout]
+    skip: jnp.ndarray | None = None,  # [B, H, W, Cout] residual added pre-ReLU
+    relu: bool = True,
+    block_h: int = 16,
+) -> jnp.ndarray:
+    """SAME-padded 3x3 stride-1 convolution with fused bias/skip/ReLU."""
+    bsz, h, width, cin = x.shape
+    cout = w.shape[-1]
+    bh = block_h
+    while h % bh:
+        bh //= 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    grid = (bsz, h // bh)
+    kernel = functools.partial(
+        _kernel, bh=bh, width=width, cin=cin, cout=cout, relu=relu,
+        has_skip=skip is not None,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, manual halo DMA
+        pl.BlockSpec((3, 3, cin, cout), lambda b, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xp, w, bias[None]]
+    if skip is not None:
+        in_specs.append(
+            pl.BlockSpec((1, bh, width, cout), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(skip)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, h, width, cout), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bh, width, cout), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2, width + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(*args)

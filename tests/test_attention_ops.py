@@ -110,3 +110,28 @@ def test_stream_window_kernel_matches_xla_interpret():
     finally:
         A._BACKEND = old
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_kernel_matches_lax_interpret():
+    """Pallas fused conv == lax.conv (+bias+skip+relu), interpret mode."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops.conv import conv3x3_fused
+
+    rs = np.random.RandomState(3)
+    b, h, w, c = 2, 32, 48, 32
+    x = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+    kern = jnp.asarray(rs.randn(3, 3, c, c).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rs.randn(c).astype(np.float32))
+    skip = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias + skip
+    ref = jnp.maximum(ref, 0.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = conv3x3_fused(x, kern, bias, skip=skip, relu=True, block_h=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
