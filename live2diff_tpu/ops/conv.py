@@ -68,16 +68,24 @@ def conv3x3_fused(
     bh = block_h
     while h % bh:
         bh //= 2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # the manual halo DMA requires 8-aligned sublane (W) and 128-aligned
+    # lane (C) extents; zero-padding channels keeps the matmul exact
+    wp = width + 2
+    wp_pad = (-wp) % 8
+    c_pad = (-cin) % 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wp_pad), (0, c_pad)))
+    if c_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad), (0, 0)))
+    cin_p = cin + c_pad
 
     grid = (bsz, h // bh)
     kernel = functools.partial(
-        _kernel, bh=bh, width=width, cin=cin, cout=cout, relu=relu,
+        _kernel, bh=bh, width=width, cin=cin_p, cout=cout, relu=relu,
         has_skip=skip is not None,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, manual halo DMA
-        pl.BlockSpec((3, 3, cin, cout), lambda b, i: (0, 0, 0, 0),
+        pl.BlockSpec((3, 3, cin_p, cout), lambda b, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -96,7 +104,7 @@ def conv3x3_fused(
         out_specs=pl.BlockSpec((1, bh, width, cout), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, width + 2, cin), x.dtype),
+            pltpu.VMEM((bh + 2, wp + wp_pad, cin_p), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
