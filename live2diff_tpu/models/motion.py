@@ -35,7 +35,7 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention, stream_window_attention
 from .layers import GEGLUFeedForward, sinusoidal_table
 
-KVCache = jnp.ndarray  # [steps, 2, window, HW*heads, dim_head] (window-major, head-folded)
+KVCache = jnp.ndarray  # [steps, 2, window, HW, C] (window-major, channels on lanes)
 
 
 def _pin_default_layout(x: jnp.ndarray) -> jnp.ndarray:
@@ -61,15 +61,14 @@ def _pin_default_layout(x: jnp.ndarray) -> jnp.ndarray:
 def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: jnp.ndarray) -> KVCache:
     """Scatter the new frame's K/V into per-step cache slots.
 
-    cache: [steps, 2, window, P, dh] (P = HW*heads); k, v: [steps, HW, C];
+    cache: [steps, 2, window, HW, C]; k, v: [steps, HW, C];
     update_idx: [steps] int32. The per-step dynamic_update_slice loop is
     unrolled (steps is 2..4) — vmap'ing it makes XLA emit a layout-normalising
     copy of the whole cache, the unrolled form updates in place under
     donation.
     """
-    steps, _, _, p_total, dh = cache.shape
-    kv = jnp.stack([k.reshape(steps, p_total, dh), v.reshape(steps, p_total, dh)],
-                   axis=1).astype(cache.dtype)  # [steps, 2, P, dh]
+    steps = cache.shape[0]
+    kv = jnp.stack([k, v], axis=1).astype(cache.dtype)  # [steps, 2, HW, C]
     cache = _pin_default_layout(cache)
     for i in range(steps):
         cache = jax.lax.dynamic_update_slice(
@@ -83,10 +82,8 @@ def write_kv_warmup(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx) ->
 
     k, v: [HW, F, C] (F = number of warmup frames).
     """
-    _, _, _, p_total, dh = cache.shape
-    f = k.shape[1]
     kv = jnp.stack([k, v], axis=0)  # [2, HW, F, C]
-    kv = jnp.swapaxes(kv, 1, 2).reshape(2, f, p_total, dh)[None]  # [1, 2, F, P, dh]
+    kv = jnp.swapaxes(kv, 1, 2)[None]  # [1, 2, F, HW, C]
     return jax.lax.dynamic_update_slice(
         cache, kv.astype(cache.dtype), (step_idx, 0, 0, 0, 0)
     )

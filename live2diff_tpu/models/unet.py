@@ -93,17 +93,17 @@ class UNetConfig:
     ) -> Tuple[Tuple[int, ...], ...]:
         """Shape of each KV-cache array, flat traversal order.
 
-        Stored head-folded: ``[steps, 2, window, HW*heads, dim_head]``. This
-        is the exact physical layout the Pallas stream-attention kernel
-        tiles over; storing it pre-folded avoids a tiled-layout reshape of
-        the whole cache (a real copy on TPU) every layer every frame.
+        ``[steps, 2, window, HW, C]``: window-major (a slot write is one
+        contiguous slab), channels on lanes (C is a lane-friendly 320/640/
+        1280 at every level — splitting heads out would put dh=40 on lanes
+        and waste ~3x HBM bandwidth on every cache read). The Pallas stream
+        kernel separates heads internally with a block-diagonal mask matmul.
         """
-        h = self.motion_num_attention_heads
         shapes = []
         for channels, res in self.motion_module_layout():
             hw = (latent_height // res) * (latent_width // res)
             for _ in range(self.caches_per_module):
-                shapes.append((num_steps, 2, self.window_size, hw * h, channels // h))
+                shapes.append((num_steps, 2, self.window_size, hw, channels))
         return tuple(shapes)
 
     def init_caches(

@@ -155,8 +155,8 @@ def stream_window_attention(
 
     Args:
       q: ``[steps, HW, C]`` current frame's queries (PE-free).
-      kv_cache: ``[steps, 2, window, HW*heads, dim_head]`` updated cache
-        (new K/V already written at ``update_idx``; head-folded layout).
+      kv_cache: ``[steps, 2, window, HW, C]`` updated cache (new K/V already
+        written at ``update_idx``).
       pe_q: ``[steps, C]`` query PE row (the slot's own PE).
       pe_k, pe_v: ``[steps, window, C]`` gathered K/V PE rows.
       bias: ``[steps, window]`` additive visibility bias.
@@ -175,35 +175,34 @@ def stream_window_attention(
     pkh = pe_k.astype(dt).reshape(s, window, heads, dh)
     pvh = pe_v.astype(dt).reshape(s, window, heads, dh)
 
-    # PE logits: real MXU matmul, [s, hw, heads, window] fp32 (few MB)
-    pe_logits = jnp.einsum("sphd,swhd->sphw", qh, pkh, preferred_element_type=jnp.float32)
-    extra = pe_logits * scale + bias.astype(jnp.float32)[:, None, None, :]
+    # PE logits: real MXU matmul, [s, hw, window, heads] fp32 (few MB),
+    # w-major so the flatten below matches the kernel's packed lane order
+    pe_logits = jnp.einsum("sphd,swhd->spwh", qh, pkh, preferred_element_type=jnp.float32)
+    extra = pe_logits * scale + bias.astype(jnp.float32)[:, None, :, None]
 
-    if _on_tpu() and (hw * heads) % 256 == 0:
+    if _on_tpu() and hw % 64 == 0:
         from .stream_attention import stream_window_attention_kernel
 
         out, probs = stream_window_attention_kernel(
-            q_full.reshape(s, hw * heads, dh),
-            kv_cache,
-            extra.reshape(s, hw * heads, window),
-            scale=float(scale),
+            q_full, kv_cache, extra.reshape(s, hw, window * heads),
+            scale=float(scale), heads=heads,
         )
-        out = out.reshape(s, hw, heads, dh).astype(jnp.float32)
-        probs = probs.reshape(s, hw, heads, window)
+        out = out.astype(jnp.float32).reshape(s, hw, heads, dh)
+        probs = probs.reshape(s, hw, window, heads)
     else:
         kch = kv_cache[:, 0].astype(dt).reshape(s, window, hw, heads, dh)
         vch = kv_cache[:, 1].astype(dt).reshape(s, window, hw, heads, dh)
         logits = jnp.einsum(
-            "sphd,swphd->sphw", qh, kch, preferred_element_type=jnp.float32
+            "sphd,swphd->spwh", qh, kch, preferred_element_type=jnp.float32
         )
         logits = logits * scale + extra
-        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits, axis=-2)
         out = jnp.einsum(
-            "sphw,swphd->sphd", probs.astype(dt), vch,
+            "spwh,swphd->sphd", probs.astype(dt), vch,
             preferred_element_type=jnp.float32,
         )
 
-    out = out + jnp.einsum("sphw,swhd->sphd", probs.astype(dt), pvh,
+    out = out + jnp.einsum("spwh,swhd->sphd", probs.astype(dt), pvh,
                            preferred_element_type=jnp.float32)
     return out.astype(dt).reshape(s, hw, c)
 

@@ -11,15 +11,22 @@ Math (identical to the reference's PE-relative streaming attention,
 /root/reference/live2diff/animatediff/models/stream_motion_module.py:99-213,
 after factoring the positional-encoding terms out of the cache):
 
-    logits = scale * q_full . k_cache  +  extra          (extra = scale * q_full . pe_k + bias)
-    probs  = softmax(logits)                             (fp32)
-    out    = probs . v_cache                             (+ probs . pe_v, added by the caller)
+    logits = scale * q_full . k_cache  +  extra      (extra = scale * q_full . pe_k + bias)
+    probs  = softmax(logits)                         (fp32, per head)
+    out    = probs . v_cache                         (+ probs . pe_v, added by the caller)
 
-Layout contract (chosen so every reshape outside is free):
-    q_full : [steps, HW*heads, dh]          (PE-added queries, heads folded)
-    cache  : [steps, 2, window, HW*heads, dh]  (k=index 0, v=index 1; PE-free)
-    extra  : [steps, HW*heads, window] fp32
-Returns (out, probs): [steps, HW*heads, dh], [steps, HW*heads, window] fp32.
+Layout: the cache keeps the model's channel dim on lanes
+(``[steps, 2, window, HW, C]``, C = heads*dh) — C is 128-aligned-ish for
+every UNet level (320/640/1280), whereas a head-split dh=40 lane dim would
+pad to 128 and waste ~3x HBM bandwidth on the cache read. Head separation
+is done *inside* the kernel with a block-diagonal head mask on the MXU:
+
+    logits[p, h] = (q * k_w) @ M        M[c, h] = 1 iff c in head h
+    out += (probs_w @ M^T) * v_w
+
+``extra`` and the returned ``probs`` pack (window, head) on lanes in
+w-major order (lane = w*heads + h; 16*8 = 128 lanes for the production
+config).
 """
 
 from __future__ import annotations
@@ -32,74 +39,97 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, extra_ref, out_ref, probs_ref, *, scale, window):
-    """Static unroll over the (tiny) window; only lane-dim reductions, which
-    Mosaic supports everywhere (cross-sublane multi_reductions do not lower)."""
-    q = q_ref[0]  # [bp, dh] bf16
+def _kernel(q_ref, k_ref, v_ref, extra_ref, out_ref, probs_ref, *, scale, window, heads):
+    q = q_ref[0]  # [bp, C] bf16
+    extra = extra_ref[0]  # [bp, window*heads] fp32, lane = w*heads + h
+    bp, c = q.shape
+    dh = c // heads
 
-    # logits[p, w] = scale * sum_d q[p, d] * k[w, p, d]   (VPU, fp32 accumulate)
-    cols = [
-        jnp.sum((k_ref[0, 0, w] * q).astype(jnp.float32), axis=-1, keepdims=True)
-        for w in range(window)
-    ]
-    logits = jnp.concatenate(cols, axis=-1) * scale + extra_ref[0]  # [bp, window] f32
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
+    mask = (ci // dh == hi).astype(q.dtype)  # [C, heads] block-diagonal
+    mask_t = mask.T.astype(jnp.float32)  # [heads, C]
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [bp, window] fp32
-
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # [bp, dh]
+    # pass 1: per-slot logits (VPU multiply + tiny MXU mask-matmul)
+    logits = []
     for w in range(window):
-        acc = acc + v_ref[0, 0, w].astype(jnp.float32) * p[:, w : w + 1]
+        prod = k_ref[0, 0, w] * q  # [bp, C] bf16
+        lw = jnp.dot(prod, mask, preferred_element_type=jnp.float32) * scale
+        logits.append(lw + extra[:, w * heads : (w + 1) * heads])  # [bp, heads]
+
+    m = logits[0]
+    for w in range(1, window):
+        m = jnp.maximum(m, logits[w])
+    ps = [jnp.exp(lw - m) for lw in logits]
+    l = ps[0]
+    for w in range(1, window):
+        l = l + ps[w]
+    inv = 1.0 / l  # [bp, heads]
+
+    # pass 2: weighted V accumulation (fp32)
+    acc = jnp.zeros((bp, c), jnp.float32)
+    probs_cols = []
+    for w in range(window):
+        pw = ps[w] * inv  # [bp, heads] fp32
+        probs_cols.append(pw)
+        pfull = jnp.dot(pw, mask_t, preferred_element_type=jnp.float32)  # [bp, C]
+        acc = acc + v_ref[0, 0, w].astype(jnp.float32) * pfull
     out_ref[0] = acc.astype(out_ref.dtype)
-    probs_ref[0] = p
+    probs_ref[0] = jnp.concatenate(probs_cols, axis=-1)  # [bp, window*heads]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_p"))
+def _block_p(hw: int, c_pad: int) -> int:
+    # keep the double-buffered K+V working set ~<= 24 MB of VMEM
+    budget = 24 * 1024 * 1024
+    bp = budget // (16 * c_pad * 2 * 2 * 2)
+    bp = max(64, 1 << (bp.bit_length() - 1))
+    return min(bp, hw)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "block_p"))
 def stream_window_attention_kernel(
-    q_full: jnp.ndarray,  # [steps, P, dh]  (P = HW * heads)
-    cache: jnp.ndarray,  # [steps, 2, window, P, dh]
-    extra: jnp.ndarray,  # [steps, P, window] fp32
+    q_full: jnp.ndarray,  # [steps, HW, C]
+    cache: jnp.ndarray,  # [steps, 2, window, HW, C]
+    extra: jnp.ndarray,  # [steps, HW, window*heads] fp32 (w-major lanes)
     scale: float,
+    heads: int,
     block_p: int = 0,
 ):
-    s, p_total, dh = q_full.shape
+    s, hw, c = q_full.shape
     window = cache.shape[2]
-    if not block_p:
-        # K+V blocks are [window, block_p, dh] with the lane dim padded to a
-        # multiple of 128; keep the double-buffered working set inside the
-        # scoped-VMEM budget at every head size (dh 40/80 pad 128, 160 pads 256)
-        block_p = 512 if dh <= 64 else 256
-    block_p = min(block_p, p_total)
-    assert p_total % block_p == 0, (p_total, block_p)
-    grid = (s, p_total // block_p)
+    c_pad = ((c + 127) // 128) * 128
+    bp = block_p or _block_p(hw, c_pad)
+    while hw % bp:
+        bp //= 2
+    grid = (s, hw // bp)
+    wh = window * heads
 
-    kernel = functools.partial(_kernel, scale=scale, window=window)
+    kernel = functools.partial(_kernel, scale=scale, window=window, heads=heads)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((s, p_total, dh), q_full.dtype),
-            jax.ShapeDtypeStruct((s, p_total, window), jnp.float32),
+            jax.ShapeDtypeStruct((s, hw, c), q_full.dtype),
+            jax.ShapeDtypeStruct((s, hw, wh), jnp.float32),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_p, dh), lambda si, pi: (si, pi, 0),
+            pl.BlockSpec((1, bp, c), lambda si, pi: (si, pi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, window, block_p, dh), lambda si, pi: (si, 0, 0, pi, 0),
+            pl.BlockSpec((1, 1, window, bp, c), lambda si, pi: (si, 0, 0, pi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, window, block_p, dh), lambda si, pi: (si, 1, 0, pi, 0),
+            pl.BlockSpec((1, 1, window, bp, c), lambda si, pi: (si, 1, 0, pi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_p, window), lambda si, pi: (si, pi, 0),
+            pl.BlockSpec((1, bp, wh), lambda si, pi: (si, pi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_p, dh), lambda si, pi: (si, pi, 0),
+            pl.BlockSpec((1, bp, c), lambda si, pi: (si, pi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_p, window), lambda si, pi: (si, pi, 0),
+            pl.BlockSpec((1, bp, wh), lambda si, pi: (si, pi, 0),
                          memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=48 * 1024 * 1024,
+            vmem_limit_bytes=56 * 1024 * 1024,
         ),
     )(q_full, cache, cache, extra)

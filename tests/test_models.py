@@ -41,10 +41,10 @@ def test_motion_module_layout_counts():
     assert len(TINY.motion_module_layout()) == 20
     assert TINY.num_caches() == 40
     shapes = TINY.cache_shapes(16, 16, 2)
-    assert shapes[0] == (2, 2, 16, 512, 4)  # [steps, kv, window, HW*heads, dh]
-    assert shapes[-1] == (2, 2, 16, 512, 4)
+    assert shapes[0] == (2, 2, 16, 256, 8)  # [steps, kv, window, HW, C]
+    assert shapes[-1] == (2, 2, 16, 256, 8)
     # mid-resolution block: 16/4=4 -> hw=16... check one deep cache
-    assert (2, 2, 16, 32, 8) in shapes
+    assert (2, 2, 16, 16, 16) in shapes
 
 
 def test_unet_stream_forward(tiny_unet):
