@@ -240,7 +240,6 @@ class FusedConv3x3(nn.Module):
 
         if (
             _on_tpu()
-            and cin % 32 == 0
             and self.features % 32 == 0
             and x.shape[1] * x.shape[2] >= 128 * 128
         ):
@@ -289,7 +288,7 @@ class TinyEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         layer = 0
-        x = nn.Conv(self.hidden, (3, 3), padding=1, name=f"layers_{layer}", **kw)(x)
+        x = FusedConv3x3(self.hidden, name=f"layers_{layer}", **kw)(x)
         layer += 1
         for stage, n in enumerate(self.num_blocks):
             if stage > 0:

@@ -38,9 +38,13 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, bh, width, cin, cout, relu, has_skip):
     copy.wait()
 
     acc = jnp.zeros((bh * width, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = x_vmem[dy : dy + bh, dx : dx + width, :].reshape(bh * width, cin)
+    # slice the (sublane) width shift once per dx — the row (dy) shift is on
+    # the leading dim and free — so only 3 misaligned-sublane relayouts
+    # happen instead of 9
+    for dx in range(3):
+        xs = x_vmem[:, dx : dx + width, :]  # [bh+2, W, Cin]
+        for dy in range(3):
+            patch = xs[dy : dy + bh].reshape(bh * width, cin)
             acc = acc + jnp.dot(
                 patch, w_ref[dy, dx], preferred_element_type=jnp.float32
             )
