@@ -113,5 +113,6 @@ def conv3x3_fused(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=40 * 1024 * 1024,
         ),
     )(*args)
