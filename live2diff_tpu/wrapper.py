@@ -30,11 +30,18 @@ from .utils.image import postprocess_image, preprocess_image
 WARMUP_FRAMES = 8
 
 
+# bump when a change alters program semantics that jax's cache key misses
+# (e.g. jit in/out layout pins are NOT part of the upstream cache key, so a
+# stale pre-pin executable would return wrongly-laid-out buffers)
+CACHE_SCHEMA = "v2"
+
+
 def enable_compilation_cache(cache_dir: str = "engines/xla_cache") -> None:
     """Persistent XLA compilation cache (the TensorRT-engine-dir equivalent)."""
     try:
         import jax
 
+        cache_dir = os.path.join(cache_dir, CACHE_SCHEMA)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
