@@ -341,6 +341,20 @@ class StreamDiffusionDepth:
     # public API
     # ------------------------------------------------------------------
 
+    def _normalize_state_layouts(self, state: StreamState) -> StreamState:
+        """Force the pinned default layouts on a state pytree.
+
+        XLA does not always honor out_shardings layout pins on the warmup
+        program's donated outputs (observed nondeterministically on TPU), and
+        the step program *strictly requires* its pinned input layouts. An
+        explicit device_put is a no-op for buffers already in the right
+        layout and a one-time relayout otherwise.
+        """
+        pins = self._layout_pins()
+        if not pins:
+            return state
+        return jax.device_put(state, pins["in_shardings"][1])
+
     def prepare(
         self, warmup_frames: np.ndarray, prompt_embeds: jnp.ndarray, seed: int = 2
     ) -> Tuple[StreamState, np.ndarray]:
@@ -350,7 +364,7 @@ class StreamDiffusionDepth:
         state, out = self._jit_prepare(
             self.params, state, jnp.asarray(warmup_frames), self._prompt_embeds
         )
-        return state, np.asarray(out)
+        return self._normalize_state_layouts(state), np.asarray(out)
 
     def __call__(
         self, state: StreamState, frame: np.ndarray
@@ -358,4 +372,14 @@ class StreamDiffusionDepth:
         """frame: [H, W, 3] in [-1, 1]. Returns (state, output frame on device)."""
         if self._prompt_embeds is None:
             raise RuntimeError("call prepare() first")
-        return self._jit_step(self.params, state, jnp.asarray(frame), self._prompt_embeds)
+        try:
+            return self._jit_step(
+                self.params, state, jnp.asarray(frame), self._prompt_embeds
+            )
+        except ValueError as e:  # layout drift (see _normalize_state_layouts)
+            if "Layout" not in str(e):
+                raise
+            state = self._normalize_state_layouts(state)
+            return self._jit_step(
+                self.params, state, jnp.asarray(frame), self._prompt_embeds
+            )
