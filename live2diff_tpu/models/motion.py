@@ -38,26 +38,6 @@ from .layers import GEGLUFeedForward, sinusoidal_table
 KVCache = jnp.ndarray  # [steps, 2, window, HW, C] (window-major, channels on lanes)
 
 
-def _pin_default_layout(x: jnp.ndarray) -> jnp.ndarray:
-    """Constrain a cache intermediate to the default (major-to-minor) layout.
-
-    Without this, XLA:TPU's layout assignment flips the cache to a
-    lane-transposed layout around the dynamic_update_slice while the Pallas
-    attention kernel requires the default layout — inserting two full-cache
-    copies per attention layer per frame (~2 ms each at 64x64 latents).
-    """
-    try:
-        if jax.default_backend() != "tpu":
-            return x
-        from jax.experimental.layout import Format, Layout, with_layout_constraint
-
-        return with_layout_constraint(
-            x, Format(Layout(major_to_minor=tuple(range(x.ndim))))
-        )
-    except Exception:
-        return x
-
-
 def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: jnp.ndarray) -> KVCache:
     """Scatter the new frame's K/V into per-step cache slots.
 
@@ -69,12 +49,11 @@ def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: 
     """
     steps = cache.shape[0]
     kv = jnp.stack([k, v], axis=1).astype(cache.dtype)  # [steps, 2, HW, C]
-    cache = _pin_default_layout(cache)
     for i in range(steps):
         cache = jax.lax.dynamic_update_slice(
             cache, kv[i : i + 1, :, None], (i, 0, update_idx[i], 0, 0)
         )
-    return _pin_default_layout(cache)
+    return cache
 
 
 def write_kv_warmup(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx) -> KVCache:

@@ -170,38 +170,42 @@ def stream_window_attention(
     scale = dh**-0.5 if scale is None else scale
     dt = q.dtype
 
-    q_full = q + pe_q[:, None, :]
+    q_full = (q + pe_q[:, None, :]).astype(dt)
     qh = q_full.reshape(s, hw, heads, dh)
     pkh = pe_k.astype(dt).reshape(s, window, heads, dh)
-    pvh = pe_v.astype(dt).reshape(s, window, heads, dh)
-
-    # PE logits: real MXU matmul, [s, hw, window, heads] fp32 (few MB),
-    # w-major so the flatten below matches the kernel's packed lane order
-    pe_logits = jnp.einsum("sphd,swhd->spwh", qh, pkh, preferred_element_type=jnp.float32)
-    extra = pe_logits * scale + bias.astype(jnp.float32)[:, None, :, None]
 
     if _on_tpu() and hw % 64 == 0:
         from .stream_attention import stream_window_attention_kernel
 
-        out, probs = stream_window_attention_kernel(
-            q_full, kv_cache, extra.reshape(s, hw, window * heads),
-            scale=float(scale), heads=heads,
+        # PE logits: real MXU matmul, [s, window, heads, hw] fp32 (few MB)
+        pe_logits = jnp.einsum(
+            "sphd,swhd->swhp", qh, pkh, preferred_element_type=jnp.float32
         )
-        out = out.astype(jnp.float32).reshape(s, hw, heads, dh)
-        probs = probs.reshape(s, hw, window, heads)
-    else:
-        kch = kv_cache[:, 0].astype(dt).reshape(s, window, hw, heads, dh)
-        vch = kv_cache[:, 1].astype(dt).reshape(s, window, hw, heads, dh)
-        logits = jnp.einsum(
-            "sphd,swphd->spwh", qh, kch, preferred_element_type=jnp.float32
+        extra = pe_logits * scale + bias.astype(jnp.float32)[:, :, None, None]
+        out_t = stream_window_attention_kernel(
+            jnp.swapaxes(q_full, 1, 2),
+            jnp.swapaxes(kv_cache, 3, 4),
+            extra,
+            pe_v.astype(jnp.float32)[..., None],
+            scale=float(scale),
+            heads=heads,
         )
-        logits = logits * scale + extra
-        probs = jax.nn.softmax(logits, axis=-2)
-        out = jnp.einsum(
-            "spwh,swphd->sphd", probs.astype(dt), vch,
-            preferred_element_type=jnp.float32,
-        )
+        return jnp.swapaxes(out_t, 1, 2).astype(dt)
 
+    pvh = pe_v.astype(dt).reshape(s, window, heads, dh)
+    pe_logits = jnp.einsum("sphd,swhd->spwh", qh, pkh, preferred_element_type=jnp.float32)
+    extra = pe_logits * scale + bias.astype(jnp.float32)[:, None, :, None]
+    kch = kv_cache[:, 0].astype(dt).reshape(s, window, hw, heads, dh)
+    vch = kv_cache[:, 1].astype(dt).reshape(s, window, hw, heads, dh)
+    logits = jnp.einsum(
+        "sphd,swphd->spwh", qh, kch, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale + extra
+    probs = jax.nn.softmax(logits, axis=-2)
+    out = jnp.einsum(
+        "spwh,swphd->sphd", probs.astype(dt), vch,
+        preferred_element_type=jnp.float32,
+    )
     out = out + jnp.einsum("spwh,swhd->sphd", probs.astype(dt), pvh,
                            preferred_element_type=jnp.float32)
     return out.astype(dt).reshape(s, hw, c)

@@ -4,29 +4,29 @@ The hot per-frame op of the motion modules: each spatial position (x head)
 attends over its own 16-slot KV window. As plain XLA this is a batched
 matvec, which TPU lowers to multiply+reduce — and with fp32 accumulation XLA
 first *materialises fp32 copies of the whole KV-cache in HBM* (hundreds of
-MB per layer per frame). This kernel reads the bf16 cache once, multiplies
-on the VPU, and keeps all fp32 softmax state in registers/VMEM.
+MB per layer per frame). This kernel reads the bf16 cache exactly once,
+multiplies on the VPU, and keeps all fp32 softmax state in VMEM.
 
 Math (identical to the reference's PE-relative streaming attention,
 /root/reference/live2diff/animatediff/models/stream_motion_module.py:99-213,
-after factoring the positional-encoding terms out of the cache):
+after factoring the K positional encoding out of the cache):
 
-    logits = scale * q_full . k_cache  +  extra      (extra = scale * q_full . pe_k + bias)
-    probs  = softmax(logits)                         (fp32, per head)
-    out    = probs . v_cache                         (+ probs . pe_v, added by the caller)
+    logits = scale * q_full . k_cache  +  extra     (extra = scale * q_full . pe_k + bias)
+    probs  = softmax(logits)                        (fp32, per head, online over window chunks)
+    out    = probs . (v_cache + pe_v)               (pe_v added in-kernel, broadcast over HW)
 
-Layout: the cache keeps the model's channel dim on lanes
-(``[steps, 2, window, HW, C]``, C = heads*dh) — C is 128-aligned-ish for
-every UNet level (320/640/1280), whereas a head-split dh=40 lane dim would
-pad to 128 and waste ~3x HBM bandwidth on the cache read. Head separation
-is done *inside* the kernel with a block-diagonal head mask on the MXU:
+Layout: the kernel consumes ``[steps, 2, window, C, HW]`` — HW on lanes.
+Callers hold the cache as ``[steps, 2, window, HW, C]`` and pass
+``swapaxes(-1, -2)``: XLA's layout assignment implements that transpose as a
+free bitcast by storing the cache HW-minor, which is also the layout it
+naturally prefers for these arrays. (jit-level layout pinning is NOT used —
+the compile service honors entry layouts nondeterministically; shaping the
+program so the preferred layout is the required one is robust.)
 
-    logits[p, h] = (q * k_w) @ M        M[c, h] = 1 iff c in head h
-    out += (probs_w @ M^T) * v_w
+Head separation runs on the MXU with a block-diagonal head mask:
 
-``extra`` and the returned ``probs`` pack (window, head) on lanes in
-w-major order (lane = w*heads + h; 16*8 = 128 lanes for the production
-config).
+    logits[h, p] = M^T @ (q * k_w)      M[c, h] = 1 iff channel c in head h
+    out += (M @ probs_w) * (v_w + pe_v_w)
 """
 
 from __future__ import annotations
@@ -39,97 +39,133 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, extra_ref, out_ref, probs_ref, *, scale, window, heads):
-    q = q_ref[0]  # [bp, C] bf16
-    extra = extra_ref[0]  # [bp, window*heads] fp32, lane = w*heads + h
-    bp, c = q.shape
+def _kernel(
+    q_ref, k_ref, v_ref, extra_ref, pev_ref, out_ref,
+    m_ref, l_ref, acc_ref,
+    *, scale, wc, w_chunks, heads,
+):
+    """Grid (steps, HW tiles, window chunks); online softmax over chunks."""
+    wi = pl.program_id(2)
+
+    @pl.when(wi == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [C, bp] bf16
+    c, bp = q.shape
     dh = c // heads
+    ci = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 1)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 0)
+    mask_t = (ci // dh == hi).astype(q.dtype)  # [heads, C]
 
-    ci = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0)
-    hi = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
-    mask = (ci // dh == hi).astype(q.dtype)  # [C, heads] block-diagonal
-    mask_t = mask.T.astype(jnp.float32)  # [heads, C]
+    m_prev = m_ref[...]  # [heads, bp] f32
+    l_prev = l_ref[...]
 
-    # pass 1: per-slot logits (VPU multiply + tiny MXU mask-matmul)
+    # chunk logits
     logits = []
-    for w in range(window):
-        prod = k_ref[0, 0, w] * q  # [bp, C] bf16
-        lw = jnp.dot(prod, mask, preferred_element_type=jnp.float32) * scale
-        logits.append(lw + extra[:, w * heads : (w + 1) * heads])  # [bp, heads]
+    for w in range(wc):
+        prod = k_ref[0, 0, w] * q  # [C, bp] bf16
+        lw = jax.lax.dot_general(
+            mask_t, prod, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [heads, bp]
+        logits.append(lw + extra_ref[0, wi * wc + w])  # extra row: [heads, bp]
 
-    m = logits[0]
-    for w in range(1, window):
-        m = jnp.maximum(m, logits[w])
-    ps = [jnp.exp(lw - m) for lw in logits]
-    l = ps[0]
-    for w in range(1, window):
-        l = l + ps[w]
-    inv = 1.0 / l  # [bp, heads]
+    m_new = m_prev
+    for lw in logits:
+        m_new = jnp.maximum(m_new, lw)
+    alpha = jnp.exp(m_prev - m_new)
+    ps = [jnp.exp(lw - m_new) for lw in logits]
+    l_new = l_prev * alpha
+    for p in ps:
+        l_new = l_new + p
 
-    # pass 2: weighted V accumulation (fp32)
-    acc = jnp.zeros((bp, c), jnp.float32)
-    probs_cols = []
-    for w in range(window):
-        pw = ps[w] * inv  # [bp, heads] fp32
-        probs_cols.append(pw)
-        pfull = jnp.dot(pw, mask_t, preferred_element_type=jnp.float32)  # [bp, C]
-        acc = acc + v_ref[0, 0, w].astype(jnp.float32) * pfull
-    out_ref[0] = acc.astype(out_ref.dtype)
-    probs_ref[0] = jnp.concatenate(probs_cols, axis=-1)  # [bp, window*heads]
+    m_ref[...] = m_new
+    l_ref[...] = l_new
+
+    # correct the accumulator per head: expand alpha [heads, bp] -> [C, bp]
+    mask_f = mask_t.T.astype(jnp.float32)  # [C, heads]
+    alpha_full = jax.lax.dot_general(
+        mask_f, alpha, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [C, bp]
+    acc = acc_ref[...] * alpha_full
+    for w, p in enumerate(ps):
+        pfull = jax.lax.dot_general(
+            mask_f, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C, bp]
+        v_eff = v_ref[0, 0, w].astype(jnp.float32) + pev_ref[0, wi * wc + w]  # [C, bp] + [C, 1]
+        acc = acc + v_eff * pfull
+    acc_ref[...] = acc
+
+    @pl.when(wi == w_chunks - 1)
+    def _store():
+        l = l_ref[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)  # [heads, bp]
+        linv_full = jax.lax.dot_general(
+            mask_f, l_inv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, bp]
+        out_ref[0] = (acc_ref[...] * linv_full).astype(out_ref.dtype)
 
 
-def _block_p(hw: int, c_pad: int) -> int:
-    # keep the double-buffered K+V working set ~<= 24 MB of VMEM
-    budget = 24 * 1024 * 1024
-    bp = budget // (16 * c_pad * 2 * 2 * 2)
+def _block_p(hw: int, c: int) -> int:
+    budget = 10 * 1024 * 1024  # K+V chunk working set target (x2 double buffer)
+    wc = 4
+    bp = budget // (2 * wc * c * 2 * 2)
     bp = max(64, 1 << (bp.bit_length() - 1))
     return min(bp, hw)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "heads", "block_p"))
 def stream_window_attention_kernel(
-    q_full: jnp.ndarray,  # [steps, HW, C]
-    cache: jnp.ndarray,  # [steps, 2, window, HW, C]
-    extra: jnp.ndarray,  # [steps, HW, window*heads] fp32 (w-major lanes)
+    q_t: jnp.ndarray,  # [steps, C, HW]  (transposed q_full)
+    cache_t: jnp.ndarray,  # [steps, 2, window, C, HW] (swapaxes view of the cache)
+    extra: jnp.ndarray,  # [steps, window, heads, HW] fp32
+    pe_v_t: jnp.ndarray,  # [steps, window, C, 1] fp32 (broadcast over HW in-kernel)
     scale: float,
     heads: int,
     block_p: int = 0,
 ):
-    s, hw, c = q_full.shape
-    window = cache.shape[2]
-    c_pad = ((c + 127) // 128) * 128
-    bp = block_p or _block_p(hw, c_pad)
+    s, c, hw = q_t.shape
+    window = cache_t.shape[2]
+    bp = block_p or _block_p(hw, c)
     while hw % bp:
         bp //= 2
-    grid = (s, hw // bp)
-    wh = window * heads
+    wc = 4
+    while window % wc:
+        wc //= 2
+    w_chunks = window // wc
+    grid = (s, hw // bp, w_chunks)
 
-    kernel = functools.partial(_kernel, scale=scale, window=window, heads=heads)
+    kernel = functools.partial(
+        _kernel, scale=scale, wc=wc, w_chunks=w_chunks, heads=heads
+    )
     return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((s, hw, c), q_full.dtype),
-            jax.ShapeDtypeStruct((s, hw, wh), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((s, c, hw), q_t.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bp, c), lambda si, pi: (si, pi, 0),
+            pl.BlockSpec((1, c, bp), lambda si, pi, wi: (si, 0, pi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, window, bp, c), lambda si, pi: (si, 0, 0, pi, 0),
+            pl.BlockSpec((1, 1, wc, c, bp), lambda si, pi, wi: (si, 0, wi, 0, pi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, window, bp, c), lambda si, pi: (si, 1, 0, pi, 0),
+            pl.BlockSpec((1, 1, wc, c, bp), lambda si, pi, wi: (si, 1, wi, 0, pi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, wh), lambda si, pi: (si, pi, 0),
+            pl.BlockSpec((1, window, heads, bp), lambda si, pi, wi: (si, 0, 0, pi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window, c, 1), lambda si, pi, wi: (si, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, bp, c), lambda si, pi: (si, pi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, wh), lambda si, pi: (si, pi, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((1, c, bp), lambda si, pi, wi: (si, 0, pi),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((heads, bp), jnp.float32),  # running max per head
+            pltpu.VMEM((heads, bp), jnp.float32),  # running sum per head
+            pltpu.VMEM((c, bp), jnp.float32),  # output accumulator
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=56 * 1024 * 1024,
         ),
-    )(q_full, cache, cache, extra)
+    )(q_t, cache_t, cache_t, extra, pe_v_t)

@@ -99,47 +99,15 @@ class StreamDiffusionDepth:
         self.sub_timesteps = jnp.asarray(schedule.sub_timesteps, dtype=jnp.int32)
 
         self._prompt_embeds: Optional[jnp.ndarray] = None
-        self._jit_step = jax.jit(
-            self._frame_step,
-            donate_argnums=(1,),
-            **self._layout_pins(),
-        )
+        # NOTE: no jit-level layout pins here. The compile service honors
+        # entry layouts nondeterministically, which poisons the executable
+        # cache with mixed-layout programs. Instead the Pallas stream kernel
+        # consumes the cache through a swapaxes view whose required layout
+        # coincides with XLA's preferred one (see ops/stream_attention.py).
+        self._jit_step = jax.jit(self._frame_step, donate_argnums=(1,))
         # donate the freshly-initialised state: warmup fills the caches in
         # place instead of holding init + filled copies (2x ~3 GB) at once
-        self._jit_prepare = jax.jit(
-            self._warmup_denoise, donate_argnums=(1,), **self._layout_pins()
-        )
-
-    def _layout_pins(self) -> dict:
-        """Pin KV-cache jit I/O layouts to default major-to-minor on TPU.
-
-        Left to itself, XLA:TPU layout assignment gives the donated cache
-        args/outputs a lane-transposed layout (dh-major) while the Pallas
-        stream-attention kernel requires the default layout — inserting two
-        full-cache relayout copies per attention layer per frame (~22 ms at
-        512x512). Pinning the program boundary keeps the whole chain in the
-        kernel's layout.
-        """
-        try:
-            if jax.default_backend() != "tpu":
-                return {}
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
-
-            sharding = SingleDeviceSharding(jax.devices()[0])
-            default5 = Format(Layout(major_to_minor=(0, 1, 2, 3, 4)), sharding)
-
-            def fmt_state(leaf):
-                return default5 if getattr(leaf, "ndim", 0) == 5 else None
-
-            state_shapes = jax.eval_shape(lambda: self.init_state(0))
-            state_fmt = jax.tree_util.tree_map(fmt_state, state_shapes)
-            return {
-                "in_shardings": (None, state_fmt, None, None),
-                "out_shardings": (state_fmt, None),
-            }
-        except Exception:
-            return {}
+        self._jit_prepare = jax.jit(self._warmup_denoise, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
     # state creation
@@ -341,20 +309,6 @@ class StreamDiffusionDepth:
     # public API
     # ------------------------------------------------------------------
 
-    def _normalize_state_layouts(self, state: StreamState) -> StreamState:
-        """Force the pinned default layouts on a state pytree.
-
-        XLA does not always honor out_shardings layout pins on the warmup
-        program's donated outputs (observed nondeterministically on TPU), and
-        the step program *strictly requires* its pinned input layouts. An
-        explicit device_put is a no-op for buffers already in the right
-        layout and a one-time relayout otherwise.
-        """
-        pins = self._layout_pins()
-        if not pins:
-            return state
-        return jax.device_put(state, pins["in_shardings"][1])
-
     def prepare(
         self, warmup_frames: np.ndarray, prompt_embeds: jnp.ndarray, seed: int = 2
     ) -> Tuple[StreamState, np.ndarray]:
@@ -364,7 +318,7 @@ class StreamDiffusionDepth:
         state, out = self._jit_prepare(
             self.params, state, jnp.asarray(warmup_frames), self._prompt_embeds
         )
-        return self._normalize_state_layouts(state), np.asarray(out)
+        return state, np.asarray(out)
 
     def __call__(
         self, state: StreamState, frame: np.ndarray
@@ -372,14 +326,4 @@ class StreamDiffusionDepth:
         """frame: [H, W, 3] in [-1, 1]. Returns (state, output frame on device)."""
         if self._prompt_embeds is None:
             raise RuntimeError("call prepare() first")
-        try:
-            return self._jit_step(
-                self.params, state, jnp.asarray(frame), self._prompt_embeds
-            )
-        except ValueError as e:  # layout drift (see _normalize_state_layouts)
-            if "Layout" not in str(e):
-                raise
-            state = self._normalize_state_layouts(state)
-            return self._jit_step(
-                self.params, state, jnp.asarray(frame), self._prompt_embeds
-            )
+        return self._jit_step(self.params, state, jnp.asarray(frame), self._prompt_embeds)

@@ -33,7 +33,7 @@ WARMUP_FRAMES = 8
 # bump when a change alters program semantics that jax's cache key misses
 # (e.g. jit in/out layout pins are NOT part of the upstream cache key, so a
 # stale pre-pin executable would return wrongly-laid-out buffers)
-CACHE_SCHEMA = "v2"
+CACHE_SCHEMA = "v3"
 
 
 def enable_compilation_cache(cache_dir: str = "engines/xla_cache") -> None:
