@@ -35,20 +35,22 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention, stream_window_attention
 from .layers import GEGLUFeedForward, sinusoidal_table
 
-KVCache = jnp.ndarray  # [steps, 2, window, HW, C] (window-major, channels on lanes)
+KVCache = jnp.ndarray  # [steps, 2, window, C, HW] (window-major, positions on lanes)
 
 
 def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: jnp.ndarray) -> KVCache:
     """Scatter the new frame's K/V into per-step cache slots.
 
-    cache: [steps, 2, window, HW, C]; k, v: [steps, HW, C];
-    update_idx: [steps] int32. The per-step dynamic_update_slice loop is
-    unrolled (steps is 2..4) — vmap'ing it makes XLA emit a layout-normalising
-    copy of the whole cache, the unrolled form updates in place under
-    donation.
+    cache: [steps, 2, window, C, HW]; k, v: [steps, HW, C];
+    update_idx: [steps] int32. Only the few-MB update is transposed into the
+    cache's positions-on-lanes layout. The per-step dynamic_update_slice
+    loop is unrolled (steps is 2..4) — vmap'ing it makes XLA emit a
+    layout-normalising copy of the whole cache, the unrolled form updates in
+    place under donation.
     """
     steps = cache.shape[0]
     kv = jnp.stack([k, v], axis=1).astype(cache.dtype)  # [steps, 2, HW, C]
+    kv = jnp.swapaxes(kv, -1, -2)  # [steps, 2, C, HW]
     for i in range(steps):
         cache = jax.lax.dynamic_update_slice(
             cache, kv[i : i + 1, :, None], (i, 0, update_idx[i], 0, 0)
@@ -62,7 +64,7 @@ def write_kv_warmup(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx) ->
     k, v: [HW, F, C] (F = number of warmup frames).
     """
     kv = jnp.stack([k, v], axis=0)  # [2, HW, F, C]
-    kv = jnp.swapaxes(kv, 1, 2)[None]  # [1, 2, F, HW, C]
+    kv = jnp.transpose(kv, (0, 2, 3, 1))[None]  # [1, 2, F, C, HW]
     return jax.lax.dynamic_update_slice(
         cache, kv.astype(cache.dtype), (step_idx, 0, 0, 0, 0)
     )

@@ -93,17 +93,19 @@ class UNetConfig:
     ) -> Tuple[Tuple[int, ...], ...]:
         """Shape of each KV-cache array, flat traversal order.
 
-        ``[steps, 2, window, HW, C]``: window-major (a slot write is one
-        contiguous slab), channels on lanes (C is a lane-friendly 320/640/
-        1280 at every level — splitting heads out would put dh=40 on lanes
-        and waste ~3x HBM bandwidth on every cache read). The Pallas stream
-        kernel separates heads internally with a block-diagonal mask matmul.
+        ``[steps, 2, window, C, HW]``: window-major (a slot write is one
+        contiguous slab), spatial positions on lanes. This is exactly the
+        layout the Pallas stream-attention kernel tiles over, so the default
+        major-to-minor layout needs no pinning and no relayout copies; the
+        per-frame K/V updates (a few MB) are transposed into it instead of
+        the multi-GB cache. The kernel separates heads internally with a
+        block-diagonal mask matmul.
         """
         shapes = []
         for channels, res in self.motion_module_layout():
             hw = (latent_height // res) * (latent_width // res)
             for _ in range(self.caches_per_module):
-                shapes.append((num_steps, 2, self.window_size, hw, channels))
+                shapes.append((num_steps, 2, self.window_size, channels, hw))
         return tuple(shapes)
 
     def init_caches(

@@ -155,8 +155,8 @@ def stream_window_attention(
 
     Args:
       q: ``[steps, HW, C]`` current frame's queries (PE-free).
-      kv_cache: ``[steps, 2, window, HW, C]`` updated cache (new K/V already
-        written at ``update_idx``).
+      kv_cache: ``[steps, 2, window, C, HW]`` updated cache (new K/V already
+        written at ``update_idx``; positions-on-lanes layout).
       pe_q: ``[steps, C]`` query PE row (the slot's own PE).
       pe_k, pe_v: ``[steps, window, C]`` gathered K/V PE rows.
       bias: ``[steps, window]`` additive visibility bias.
@@ -184,7 +184,7 @@ def stream_window_attention(
         extra = pe_logits * scale + bias.astype(jnp.float32)[:, :, None, None]
         out_t = stream_window_attention_kernel(
             jnp.swapaxes(q_full, 1, 2),
-            jnp.swapaxes(kv_cache, 3, 4),
+            kv_cache,
             extra,
             pe_v.astype(jnp.float32)[..., None],
             scale=float(scale),
@@ -195,15 +195,15 @@ def stream_window_attention(
     pvh = pe_v.astype(dt).reshape(s, window, heads, dh)
     pe_logits = jnp.einsum("sphd,swhd->spwh", qh, pkh, preferred_element_type=jnp.float32)
     extra = pe_logits * scale + bias.astype(jnp.float32)[:, None, :, None]
-    kch = kv_cache[:, 0].astype(dt).reshape(s, window, hw, heads, dh)
-    vch = kv_cache[:, 1].astype(dt).reshape(s, window, hw, heads, dh)
+    kch = kv_cache[:, 0].astype(dt).reshape(s, window, heads, dh, hw)
+    vch = kv_cache[:, 1].astype(dt).reshape(s, window, heads, dh, hw)
     logits = jnp.einsum(
-        "sphd,swphd->spwh", qh, kch, preferred_element_type=jnp.float32
+        "sphd,swhdp->spwh", qh, kch, preferred_element_type=jnp.float32
     )
     logits = logits * scale + extra
     probs = jax.nn.softmax(logits, axis=-2)
     out = jnp.einsum(
-        "spwh,swphd->sphd", probs.astype(dt), vch,
+        "spwh,swhdp->sphd", probs.astype(dt), vch,
         preferred_element_type=jnp.float32,
     )
     out = out + jnp.einsum("spwh,swhd->sphd", probs.astype(dt), pvh,

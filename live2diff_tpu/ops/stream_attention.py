@@ -15,13 +15,12 @@ after factoring the K positional encoding out of the cache):
     probs  = softmax(logits)                        (fp32, per head)
     out    = probs . (v_cache + pe_v)               (pe_v added in-kernel, broadcast over HW)
 
-Layout: the kernel consumes ``[steps, 2, window, C, HW]`` — HW on lanes.
-Callers hold the cache as ``[steps, 2, window, HW, C]`` and pass
-``swapaxes(-1, -2)``: XLA's layout assignment implements that transpose as a
-free bitcast by storing the cache HW-minor, which is also the layout it
-naturally prefers for these arrays. (jit-level layout pinning is NOT used —
-the compile service honors entry layouts nondeterministically; shaping the
-program so the preferred layout is the required one is robust.)
+Layout: ``[steps, 2, window, C, HW]`` — HW on lanes — is the cache's
+*declared* shape throughout the framework, so the default major-to-minor
+layout is exactly what this kernel requires: no jit-level layout pinning
+(the compile service honors entry layouts nondeterministically) and no
+whole-cache relayouts; only the few-MB per-frame K/V updates get transposed
+into it on write.
 
 Head separation runs on the MXU with a block-diagonal head mask:
 

@@ -93,7 +93,7 @@ def test_stream_window_kernel_matches_xla_interpret():
     s, hw, heads, dh, window = 2, 64, 4, 8, 16
     c = heads * dh
     q = jnp.asarray(rs.randn(s, hw, c).astype(np.float32))
-    cache = jnp.asarray(rs.randn(s, 2, window, hw, c).astype(np.float32))
+    cache = jnp.asarray(rs.randn(s, 2, window, c, hw).astype(np.float32))
     pe_q = jnp.asarray(rs.randn(s, c).astype(np.float32))
     pe_k = jnp.asarray(rs.randn(s, window, c).astype(np.float32))
     pe_v = jnp.asarray(rs.randn(s, window, c).astype(np.float32))

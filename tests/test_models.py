@@ -41,8 +41,8 @@ def test_motion_module_layout_counts():
     assert len(TINY.motion_module_layout()) == 20
     assert TINY.num_caches() == 40
     shapes = TINY.cache_shapes(16, 16, 2)
-    assert shapes[0] == (2, 2, 16, 256, 8)  # [steps, kv, window, HW, C]
-    assert shapes[-1] == (2, 2, 16, 256, 8)
+    assert shapes[0] == (2, 2, 16, 8, 256)  # [steps, kv, window, C, HW]
+    assert shapes[-1] == (2, 2, 16, 8, 256)
     # mid-resolution block: 16/4=4 -> hw=16... check one deep cache
     assert (2, 2, 16, 16, 16) in shapes
 

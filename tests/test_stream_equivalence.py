@@ -30,7 +30,7 @@ H = W = 3
 @pytest.fixture(scope="module")
 def module_and_params():
     mm = TemporalTransformer3DModel(heads=2, norm_num_groups=4, pe_max_len=24)
-    caches = [jnp.zeros((1, 2, WINDOW, H * W, C), jnp.float32) for _ in range(2)]
+    caches = [jnp.zeros((1, 2, WINDOW, C, H * W), jnp.float32) for _ in range(2)]
     x = jnp.zeros((1, WARMUP, H, W, C))
     params = mm.init(jax.random.PRNGKey(0), x, caches, "warmup", None, None, None, 0)
     return mm, params
@@ -42,7 +42,7 @@ def full_attention_reference(mm, params, frames):
     Bidirectional attention's last query row == causal attention for the
     newest frame, so this is the ground truth for the streaming path.
     """
-    caches = [jnp.zeros((1, 2, frames.shape[1], H * W, C), jnp.float32) for _ in range(2)]
+    caches = [jnp.zeros((1, 2, frames.shape[1], C, H * W), jnp.float32) for _ in range(2)]
     out, _ = mm.apply(params, frames, caches, "warmup", None, None, None, 0)
     return np.asarray(out[:, -1])
 
@@ -56,7 +56,7 @@ def test_streaming_matches_full_causal_attention(module_and_params):
     )
 
     # --- warmup: fill cache slots 0..7 (steps=1, step row 0) ---
-    caches = [jnp.zeros((1, 2, WINDOW, H * W, C), jnp.float32) for _ in range(2)]
+    caches = [jnp.zeros((1, 2, WINDOW, C, H * W), jnp.float32) for _ in range(2)]
     _, caches = mm.apply(
         params, all_frames[:, :WARMUP], caches, "warmup", None, None, None, 0
     )
@@ -86,7 +86,7 @@ def test_streaming_after_eviction_attends_window_only(module_and_params):
     total = WARMUP + 12  # 4 frames past the eviction point
     all_frames = jnp.asarray(rng.randn(1, total, H, W, C), dtype=jnp.float32)
 
-    caches = [jnp.zeros((1, 2, WINDOW, H * W, C), jnp.float32) for _ in range(2)]
+    caches = [jnp.zeros((1, 2, WINDOW, C, H * W), jnp.float32) for _ in range(2)]
     _, caches = mm.apply(
         params, all_frames[:, :WARMUP], caches, "warmup", None, None, None, 0
     )
@@ -110,7 +110,7 @@ def test_streaming_after_eviction_attends_window_only(module_and_params):
     # emulate with a fresh cache using pe_idx [0..7, 8..15] where the newest
     # frame sits at the end with PE 15: stream the window's non-sink frames
     # in order into a fresh state and grab the final output.
-    caches2 = [jnp.zeros((1, 2, WINDOW, H * W, C), jnp.float32) for _ in range(2)]
+    caches2 = [jnp.zeros((1, 2, WINDOW, C, H * W), jnp.float32) for _ in range(2)]
     _, caches2 = mm.apply(
         params, all_frames[:, :WARMUP], caches2, "warmup", None, None, None, 0
     )
