@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
+from .layers import FusedGroupNorm
 from .resnet import fold_frames, unfold_frames
 
 
@@ -123,10 +124,10 @@ class Transformer3DModel(nn.Module):
         residual = hidden_states
 
         x, _ = fold_frames(hidden_states)  # [BF, H, W, C]
-        x = nn.GroupNorm(
+        x = FusedGroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6,
-            dtype=jnp.float32, param_dtype=self.param_dtype, name="norm",
-        )(x).astype(self.dtype)
+            dtype=self.dtype, param_dtype=self.param_dtype, name="norm",
+        )(x)
         x = nn.Conv(
             inner, kernel_size=(1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
             name="proj_in",

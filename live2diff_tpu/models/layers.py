@@ -106,6 +106,36 @@ class GEGLUFeedForward(nn.Module):
         return x
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm over the trailing channel axis, fp32 statistics computed
+    per leading-axis sample, with an optionally fused activation.
+
+    Parameter pytree matches ``nn.GroupNorm`` (scale/bias of shape [C]) so
+    checkpoint ingest is unchanged. On TPU this dispatches to the fused
+    Pallas kernel (ops/norm.py); elsewhere it runs the same math in XLA.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    act: str = "none"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+
+        from ..ops.norm import group_norm_act
+
+        y = group_norm_act(
+            x.reshape(x.shape[0], -1, c), scale, bias,
+            groups=self.num_groups, eps=self.epsilon, act=self.act,
+        )
+        return y.reshape(x.shape).astype(self.dtype)
+
+
 def group_norm(
     num_groups: int = 32,
     epsilon: float = 1e-5,

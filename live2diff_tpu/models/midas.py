@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
+from .layers import FusedGroupNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,9 +81,9 @@ class GNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=self.param_dtype, name="norm")(x)
-        return nn.relu(x).astype(self.dtype)
+        return FusedGroupNorm(num_groups=self.groups, epsilon=1e-5, act="relu",
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="norm")(x)
 
 
 class ResNetV2Bottleneck(nn.Module):
@@ -101,17 +102,17 @@ class ResNetV2Bottleneck(nn.Module):
         if x.shape[-1] != self.out_channels or self.stride != 1:
             shortcut = StdConv(self.out_channels, (1, 1), (self.stride, self.stride),
                                padding=0, use_bias=False, name="downsample_conv", **kw)(x)
-            shortcut = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
-                                    param_dtype=self.param_dtype,
-                                    name="downsample_norm")(shortcut).astype(self.dtype)
+            shortcut = FusedGroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                                      param_dtype=self.param_dtype,
+                                      name="downsample_norm")(shortcut)
         h = StdConv(mid, (1, 1), padding=0, use_bias=False, name="conv1", **kw)(x)
         h = GNReLU(name="norm1", **kw)(h)
         h = StdConv(mid, (3, 3), (self.stride, self.stride), padding=1,
                     use_bias=False, name="conv2", **kw)(h)
         h = GNReLU(name="norm2", **kw)(h)
         h = StdConv(self.out_channels, (1, 1), padding=0, use_bias=False, name="conv3", **kw)(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=self.param_dtype, name="norm3")(h).astype(self.dtype)
+        h = FusedGroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="norm3")(h)
         return nn.relu(h + shortcut)
 
 

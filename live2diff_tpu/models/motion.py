@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention, stream_window_attention
-from .layers import GEGLUFeedForward, sinusoidal_table
+from .layers import FusedGroupNorm, GEGLUFeedForward, sinusoidal_table
 
 KVCache = jnp.ndarray  # [steps, 2, window, C, HW] (window-major, positions on lanes)
 
@@ -236,10 +236,10 @@ class TemporalTransformer3DModel(nn.Module):
         residual = hidden_states
 
         # per-frame GroupNorm statistics: fold frames into batch first
-        x = nn.GroupNorm(
+        x = FusedGroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6,
-            dtype=jnp.float32, param_dtype=self.param_dtype, name="norm",
-        )(hidden_states.reshape(b * f, height, width, channels)).astype(self.dtype)
+            dtype=self.dtype, param_dtype=self.param_dtype, name="norm",
+        )(hidden_states.reshape(b * f, height, width, channels))
         x = x.reshape(b, f, height, width, channels)
         x = nn.Dense(
             channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"

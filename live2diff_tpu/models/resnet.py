@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import get_activation
+from .layers import FusedGroupNorm, get_activation
 
 
 def fold_frames(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
@@ -69,20 +69,22 @@ class InflatedGroupNorm(nn.Module):
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: str = "none"  # optionally fused activation ("silu")
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         folded, f = fold_frames(x)
-        out = nn.GroupNorm(
+        out = FusedGroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
+            act=self.act,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="norm",
         )(folded)
-        return unfold_frames(out.astype(self.dtype), f)
+        return unfold_frames(out, f)
 
 
 class ResnetBlock3D(nn.Module):
@@ -109,11 +111,14 @@ class ResnetBlock3D(nn.Module):
         out_channels = self.out_channels or in_channels
         act = get_activation(self.non_linearity)
 
+        fuse_act = self.non_linearity in ("swish", "silu")
         h = InflatedGroupNorm(
             num_groups=self.groups, epsilon=self.eps, dtype=self.dtype,
+            act="silu" if fuse_act else "none",
             param_dtype=self.param_dtype, name="norm1",
         )(x)
-        h = act(h)
+        if not fuse_act:
+            h = act(h)
         h = InflatedConv(
             out_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="conv1"
         )(h)
@@ -128,8 +133,10 @@ class ResnetBlock3D(nn.Module):
             if self.time_embedding_norm == "default":
                 h = h + t
 
+        fuse_act2 = fuse_act and self.time_embedding_norm != "scale_shift"
         h = InflatedGroupNorm(
             num_groups=self.groups, epsilon=self.eps, dtype=self.dtype,
+            act="silu" if fuse_act2 else "none",
             param_dtype=self.param_dtype, name="norm2",
         )(h)
 
@@ -137,7 +144,8 @@ class ResnetBlock3D(nn.Module):
             scale, shift = jnp.split(t, 2, axis=-1)
             h = h * (1 + scale) + shift
 
-        h = act(h)
+        if not fuse_act2:
+            h = act(h)
         h = InflatedConv(
             out_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="conv2"
         )(h)

@@ -299,10 +299,9 @@ class UNet3DConditionModel(nn.Module):
 
         # --- output head ---
         sample = InflatedGroupNorm(
-            num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+            num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps, act="silu",
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv_norm_out",
         )(sample)
-        sample = nn.silu(sample)
         sample = InflatedConv(
             cfg.out_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="conv_out"
         )(sample)

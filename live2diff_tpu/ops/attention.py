@@ -174,7 +174,10 @@ def stream_window_attention(
     qh = q_full.reshape(s, hw, heads, dh)
     pkh = pe_k.astype(dt).reshape(s, window, heads, dh)
 
-    if _on_tpu() and hw % 64 == 0:
+    # hw >= 128: below that the cache slab is tiny (the fp32 materialisation
+    # the kernel exists to avoid costs ~10 MB) and the sub-128 lane extent
+    # makes XLA wrap every kernel call in full-cache relayout copies.
+    if _on_tpu() and hw % 128 == 0:
         from .stream_attention import stream_window_attention_kernel
 
         # PE logits: real MXU matmul, [s, window, heads, hw] fp32 (few MB)
@@ -186,7 +189,7 @@ def stream_window_attention(
             jnp.swapaxes(q_full, 1, 2),
             kv_cache,
             extra,
-            pe_v.astype(jnp.float32)[..., None],
+            jnp.swapaxes(pe_v, 1, 2).astype(jnp.float32),  # [s, C, window]
             scale=float(scale),
             heads=heads,
         )

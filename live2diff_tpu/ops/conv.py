@@ -57,6 +57,44 @@ def _kernel(x_hbm, w_ref, b_ref, *rest, bh, width, cin, cout, relu, has_skip):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _pack_weights(w: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Re-express a 3x3 conv as a 3x3 conv over W-packed pixels.
+
+    Packing p horizontally adjacent pixels into the channel axis turns a
+    [H, W, C] tensor into [H, W/p, p*C] (a free, layout-preserving reshape)
+    and the conv's weights into block-structured [3, 3, p*Cin, p*Cout]:
+    output subpixel ``b`` at packed column j reads original column
+    ``p*j + b + dx - 1``, which lives in packed column ``j + dxp - 1``,
+    subpixel ``a``. Each (dy, dxp, a, b) block holds at most one original
+    tap, so the packed matmul does p x the original MACs — but with p*C on
+    both contraction and output lanes it runs the MXU at full width instead
+    of zero-padding C up to 128 (2x win for the TAESD's C=64, and it halves
+    the halo-pad HBM traffic).
+    """
+    kh, kw, cin, cout = w.shape
+    wp = jnp.zeros((kh, 3, p * cin, p * cout), w.dtype)
+    for b in range(p):
+        for dx in range(kw):
+            idx = b + dx - 1
+            a = idx % p
+            dxp = (idx - a) // p + 1  # 0..2
+            wp = wp.at[:, dxp, a * cin:(a + 1) * cin, b * cout:(b + 1) * cout].set(w[:, dx])
+    return wp
+
+
+def _pick_pack(width: int, cin: int) -> int:
+    """Largest power-of-two pack factor with p*cin <= 128 and p | width."""
+    p = 1
+    while (
+        p < 32
+        and 2 * p * cin <= 128
+        and width % (2 * p) == 0
+        and (width // (2 * p)) % 8 == 0
+    ):
+        p *= 2
+    return p
+
+
 @functools.partial(jax.jit, static_argnames=("relu", "block_h"))
 def conv3x3_fused(
     x: jnp.ndarray,  # [B, H, W, Cin]
@@ -69,6 +107,18 @@ def conv3x3_fused(
     """SAME-padded 3x3 stride-1 convolution with fused bias/skip/ReLU."""
     bsz, h, width, cin = x.shape
     cout = w.shape[-1]
+
+    pack = _pick_pack(width, cin)
+    if pack > 1:
+        out = conv3x3_fused(
+            x.reshape(bsz, h, width // pack, pack * cin),
+            _pack_weights(w, pack),
+            jnp.tile(bias, pack),
+            None if skip is None else skip.reshape(bsz, h, width // pack, pack * cout),
+            relu=relu,
+            block_h=block_h,
+        )
+        return out.reshape(bsz, h, width, cout)
     bh = block_h
     while h % bh:
         bh //= 2

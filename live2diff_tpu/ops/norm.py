@@ -1,0 +1,119 @@
+"""Pallas TPU kernel: fused GroupNorm (+ optional SiLU) with fp32 statistics.
+
+XLA lowers channels-last GroupNorm into multi-stage partial reductions with
+layout-hostile `[rows, 16, 9, C]` intermediates (each GN in the UNet costs
+~0.2-0.3 ms at the 64x64-latent level — 40x off the memory bound, ~5 ms per
+frame across the ~45 hot GroupNorms). This kernel does the whole thing in
+one VMEM residency per sample: one token-axis reduction, a tiny one-hot
+matmul to fold channel groups (lane reductions are VPU-hostile; the MXU does
+them for free), and the normalize+affine+activation applied on the way out.
+
+Semantics match ``flax.linen.GroupNorm(num_groups, epsilon)`` over ``[B, T,
+C]`` with per-B statistics (the framework folds video frames into B first —
+per-frame statistics, reference InflatedGroupNorm semantics,
+/root/reference/live2diff/animatediff/models/resnet.py:68-77).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# fp32 VMEM footprint cap for the in-kernel [T, C] block
+_MAX_ELEMS = 3 * 1024 * 1024
+
+
+def _kernel(x_ref, g_ref, b_ref, o_ref, *, groups, eps, act):
+    x = x_ref[0]  # [T, C] input dtype
+    t, c = x.shape
+    cg = c // groups
+    xf = x.astype(jnp.float32)
+
+    s = jnp.sum(xf, axis=0, keepdims=True)  # [1, C]
+    ss = jnp.sum(xf * xf, axis=0, keepdims=True)
+
+    # fold channels into groups with a one-hot matmul (MXU), then broadcast
+    # the per-group stats back to channels the same way
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    m = (ci // cg == gi).astype(jnp.float32)  # [C, G]
+
+    n = jnp.float32(t * cg)
+    mean_g = jax.lax.dot_general(s, m, (((1,), (0,)), ((), ()))) / n  # [1, G]
+    ms_g = jax.lax.dot_general(ss, m, (((1,), (0,)), ((), ()))) / n
+    var_g = ms_g - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    inv_c = jax.lax.dot_general(inv_g, m, (((1,), (1,)), ((), ())))  # [1, C]
+    mean_c = jax.lax.dot_general(mean_g, m, (((1,), (1,)), ((), ())))
+
+    scale = inv_c * g_ref[0].astype(jnp.float32)  # [1, C]
+    shift = b_ref[0].astype(jnp.float32) - mean_c * scale
+    y = xf * scale + shift
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "act"))
+def _group_norm_kernel(x, gamma, beta, groups: int, eps: float, act: str):
+    b, t, c = x.shape
+    return pl.pallas_call(
+        functools.partial(_kernel, groups=groups, eps=eps, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, gamma[None], beta[None])
+
+
+def group_norm_act(
+    x: jnp.ndarray,  # [B, T, C]
+    gamma: jnp.ndarray,  # [C]
+    beta: jnp.ndarray,  # [C]
+    groups: int = 32,
+    eps: float = 1e-5,
+    act: str = "none",
+) -> jnp.ndarray:
+    """GroupNorm over [B, T, C] with per-B fp32 statistics, optional SiLU.
+
+    Dispatches to the Pallas kernel on TPU when the [T, C] slab fits VMEM;
+    otherwise (CPU tests, oversized inputs) runs the same math in XLA.
+    """
+    from .attention import _on_tpu
+
+    b, t, c = x.shape
+    if _on_tpu() and t * c <= _MAX_ELEMS and c % groups == 0 and c % 8 == 0:
+        return _group_norm_kernel(x, gamma, beta, groups, eps, act)
+
+    xf = x.astype(jnp.float32)
+    s = xf.sum(axis=1)  # [B, C]
+    ss = (xf * xf).sum(axis=1)
+    cg = c // groups
+    n = t * cg
+    sg = s.reshape(b, groups, cg).sum(-1) / n
+    ssg = ss.reshape(b, groups, cg).sum(-1) / n
+    var = ssg - sg * sg
+    inv = jax.lax.rsqrt(var + eps)
+    scale = jnp.repeat(inv, cg, axis=-1) * gamma.astype(jnp.float32)
+    shift = beta.astype(jnp.float32) - jnp.repeat(sg, cg, axis=-1) * scale
+    y = xf * scale[:, None, :] + shift[:, None, :]
+    if act == "silu":
+        y = jax.nn.silu(y)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)

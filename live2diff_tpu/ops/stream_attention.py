@@ -75,7 +75,7 @@ def _kernel(q_ref, k_ref, v_ref, extra_ref, pev_ref, out_ref, *, scale, window, 
             mask_f, p * inv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [C, bp]
-        v_eff = v_ref[0, 0, w].astype(jnp.float32) + pev_ref[0, w]  # [C, bp] + [C, 1]
+        v_eff = v_ref[0, 0, w].astype(jnp.float32) + pev_ref[0][:, w : w + 1]  # [C, bp] + [C, 1]
         acc = acc + v_eff * pfull
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -92,7 +92,7 @@ def stream_window_attention_kernel(
     q_t: jnp.ndarray,  # [steps, C, HW]  (transposed q_full)
     cache_t: jnp.ndarray,  # [steps, 2, window, C, HW] (swapaxes view of the cache)
     extra: jnp.ndarray,  # [steps, window, heads, HW] fp32
-    pe_v_t: jnp.ndarray,  # [steps, window, C, 1] fp32 (broadcast over HW in-kernel)
+    pe_v_t: jnp.ndarray,  # [steps, C, window] fp32 (broadcast over HW in-kernel)
     scale: float,
     heads: int,
     block_p: int = 0,
@@ -118,7 +118,7 @@ def stream_window_attention_kernel(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, window, heads, bp), lambda si, pi: (si, 0, 0, pi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, window, c, 1), lambda si, pi: (si, 0, 0, 0),
+            pl.BlockSpec((1, c, window), lambda si, pi: (si, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, bp), lambda si, pi: (si, 0, pi),

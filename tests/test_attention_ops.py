@@ -135,3 +135,69 @@ def test_conv3x3_kernel_matches_lax_interpret():
     with pltpu.force_tpu_interpret_mode():
         out = conv3x3_fused(x, kern, bias, skip=skip, relu=True, block_h=8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_conv3x3_packed_matches_lax_interpret():
+    """W-packed conv path (pack>1, incl. cin=3) == lax.conv, interpret mode."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops.conv import _pick_pack, conv3x3_fused
+
+    rs = np.random.RandomState(4)
+    for (h, w, cin, cout) in [(16, 128, 64, 64), (16, 256, 3, 16), (16, 128, 32, 32)]:
+        assert _pick_pack(w, cin) > 1, (w, cin)
+        x = jnp.asarray(rs.randn(1, h, w, cin).astype(np.float32))
+        kern = jnp.asarray(rs.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rs.randn(cout).astype(np.float32))
+        skip = jnp.asarray(rs.randn(1, h, w, cout).astype(np.float32))
+
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias + skip
+        ref = jnp.maximum(ref, 0.0)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = conv3x3_fused(x, kern, bias, skip=skip, relu=True, block_h=8)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4,
+            err_msg=f"shape {(h, w, cin, cout)}",
+        )
+
+
+def test_group_norm_kernel_matches_flax_interpret():
+    """Pallas fused GroupNorm(+act) == flax nn.GroupNorm (+act), interpret."""
+    import numpy as np
+    from flax import linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops import attention as A
+    from live2diff_tpu.ops.norm import group_norm_act
+
+    rs = np.random.RandomState(5)
+    for (b, t, c, act) in [(2, 64, 320, "silu"), (3, 128, 64, "relu"), (2, 96, 1280, "none")]:
+        x = jnp.asarray(rs.randn(b, t, c).astype(np.float32) * 3 + 1)
+        gamma = jnp.asarray(rs.randn(c).astype(np.float32))
+        beta = jnp.asarray(rs.randn(c).astype(np.float32))
+
+        gn = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32)
+        ref = gn.apply({"params": {"scale": gamma, "bias": beta}}, x)
+        if act == "silu":
+            ref = jax.nn.silu(ref)
+        elif act == "relu":
+            ref = jnp.maximum(ref, 0.0)
+
+        # fallback (XLA) path
+        out_fb = group_norm_act(x, gamma, beta, groups=32, eps=1e-5, act=act)
+        np.testing.assert_allclose(np.asarray(out_fb), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+        # kernel path under the interpreter
+        old = A._BACKEND
+        A._BACKEND = "tpu"
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                out_k = group_norm_act(x, gamma, beta, groups=32, eps=1e-5, act=act)
+        finally:
+            A._BACKEND = old
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=2e-4, rtol=2e-4)

@@ -103,6 +103,31 @@ def main():
     for name, ns in per_op.most_common(args.top):
         print(f"{ns/1e6/args.frames:10.3f} ms/frame  {name[:110]}")
 
+    # ---- aggregate by op family: strip %name.NNN suffix, bucket shapes ----
+    import re
+
+    fam = collections.Counter()
+    fam_n = collections.Counter()
+    for name, ns in per_op.items():
+        m = re.match(r"%?([a-zA-Z_][\w\-]*?)(?:[._]\d+)*\s*=\s*(\S+?)\[([\d,]*)\]", name)
+        if m:
+            base, dt, shape = m.groups()
+            key = f"{base} {dt}[{shape}]"
+        else:
+            key = name.split(" = ")[0].split(".")[0].lstrip("%")
+        fam[key] += ns
+        fam_n[key] += 1
+    print(f"\nop families (summed over shapes, {args.frames} frames):")
+    for key, ns in fam.most_common(args.top):
+        print(f"{ns/1e6/args.frames:10.3f} ms/frame  x{fam_n[key]:<4d} {key[:100]}")
+
+    coarse = collections.Counter()
+    for key, ns in fam.items():
+        coarse[key.split(" ")[0]] += ns
+    print("\ncoarse buckets:")
+    for key, ns in coarse.most_common(30):
+        print(f"{ns/1e6/args.frames:10.3f} ms/frame  {key}")
+
 
 if __name__ == "__main__":
     main()
