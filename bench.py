@@ -43,6 +43,8 @@ def main() -> None:
     p.add_argument("--no-depth", action="store_true")
     p.add_argument("--sync", action="store_true",
                    help="strictly synchronous per-frame protocol (no pipelining)")
+    p.add_argument("--sessions", type=int, default=1,
+                   help="concurrent streams batched on one chip (aggregate fps)")
     p.add_argument("--steps", type=int, nargs="*", default=[30, 40],
                    help="t_index_list (2 entries = reference speed-table setting)")
     args = p.parse_args()
@@ -103,6 +105,52 @@ def main() -> None:
     prompt = encode_prompt_for_pipeline(built, "masterpiece, best quality, a benchmark")
 
     rng = np.random.RandomState(0)
+
+    if args.sessions > 1:
+        # multi-session serving: S streams batched along a session axis,
+        # one compiled dispatch per round (BASELINE.json config 5)
+        from live2diff_tpu.stream.multi import MultiStream
+
+        s = args.sessions
+        ms = MultiStream(stream, s)
+        warmup = (rng.rand(s, 8, height, width, 3).astype(np.float32)) * 2 - 1
+        prompts = jnp.broadcast_to(
+            jnp.asarray(prompt).reshape(1, *jnp.asarray(prompt).shape[-2:]),
+            (s, *jnp.asarray(prompt).shape[-2:]),
+        )
+        t0 = time.time()
+        states, _ = ms.prepare(warmup, prompts)
+        prepare_s = time.time() - t0
+
+        frames = (rng.rand(s, height, width, 3) * 255).astype(np.uint8)
+        t0 = time.time()
+        for _ in range(args.warmup_iters):
+            states, out = ms(states, frames)
+        jax.block_until_ready(out)
+        compile_s = time.time() - t0
+
+        times = []
+        for _ in range(args.frames):
+            t0 = time.perf_counter()
+            states, out = ms(states, frames)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        mean = float(np.mean(times))
+        fps = s / mean  # aggregate frames/sec across sessions
+        print(
+            f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
+            f"sessions={s} round={mean*1000:.2f}ms "
+            f"aggregate fps={fps:.2f} per-session fps={1/mean:.2f}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"aggregate_fps_{width}x{height}_{len(args.steps)}steps_{s}sessions",
+            "value": round(fps, 2),
+            "unit": "fps",
+            "vs_baseline": round(fps / BASELINE_FPS, 3),
+        }))
+        return
+
     warmup_frames = (rng.rand(8, height, width, 3).astype(np.float32)) * 2 - 1
 
     t0 = time.time()

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
-from .layers import FusedGroupNorm
+from .layers import FusedGroupNorm, FusedLayerNorm
 from .resnet import fold_frames, unfold_frames
 
 
@@ -75,24 +75,24 @@ class BasicTransformerBlock(nn.Module):
         from .layers import GEGLUFeedForward
 
         def ln(name):
-            return nn.LayerNorm(
-                epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name=name
+            return FusedLayerNorm(
+                epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name
             )
 
-        h = ln("norm1")(hidden_states).astype(self.dtype)
+        h = ln("norm1")(hidden_states)
         hidden_states = hidden_states + CrossAttention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn1",
         )(h)
 
-        h = ln("norm2")(hidden_states).astype(self.dtype)
+        h = ln("norm2")(hidden_states)
         hidden_states = hidden_states + CrossAttention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             cross_attention_dim=self.cross_attention_dim,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn2",
         )(h, encoder_hidden_states)
 
-        h = ln("norm3")(hidden_states).astype(self.dtype)
+        h = ln("norm3")(hidden_states)
         hidden_states = hidden_states + GEGLUFeedForward(
             dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
         )(h)

@@ -136,6 +136,25 @@ class FusedGroupNorm(nn.Module):
         return y.reshape(x.shape).astype(self.dtype)
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm over the trailing axis with fp32 statistics (Pallas kernel
+    on TPU). Parameter pytree matches ``nn.LayerNorm`` (scale/bias [C])."""
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+
+        from ..ops.norm import layer_norm
+
+        return layer_norm(x, scale, bias, eps=self.epsilon).astype(self.dtype)
+
+
 def group_norm(
     num_groups: int = 32,
     epsilon: float = 1e-5,

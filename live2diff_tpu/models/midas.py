@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
-from .layers import FusedGroupNorm
+from .layers import FusedGroupNorm, FusedLayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,8 +128,8 @@ class ViTBlock(nn.Module):
         head_dim = self.hidden // self.heads
 
         def ln(name):
-            return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                                param_dtype=self.param_dtype, name=name)
+            return FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                  param_dtype=self.param_dtype, name=name)
 
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = ln("norm1")(x).astype(self.dtype)

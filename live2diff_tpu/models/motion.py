@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention, stream_window_attention
-from .layers import FusedGroupNorm, GEGLUFeedForward, sinusoidal_table
+from .layers import FusedGroupNorm, FusedLayerNorm, GEGLUFeedForward, sinusoidal_table
 
 KVCache = jnp.ndarray  # [steps, 2, window, C, HW] (window-major, positions on lanes)
 
@@ -183,9 +183,9 @@ class TemporalTransformerBlock(nn.Module):
     ) -> Tuple[jnp.ndarray, Tuple[KVCache, ...]]:
         new_caches = []
         for i, _block_type in enumerate(self.attention_block_types):
-            h = nn.LayerNorm(
-                epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name=f"norms_{i}"
-            )(hidden_states).astype(self.dtype)
+            h = FusedLayerNorm(
+                epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=f"norms_{i}"
+            )(hidden_states)
             attn_out, new_cache = TemporalAttention(
                 query_dim=self.dim, heads=self.heads, pe_max_len=self.pe_max_len,
                 window_size=self.window_size, sink_size=self.sink_size,
@@ -195,9 +195,9 @@ class TemporalTransformerBlock(nn.Module):
             hidden_states = hidden_states + attn_out
             new_caches.append(new_cache)
 
-        h = nn.LayerNorm(
-            epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype, name="ff_norm"
-        )(hidden_states).astype(self.dtype)
+        h = FusedLayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ff_norm"
+        )(hidden_states)
         hidden_states = hidden_states + GEGLUFeedForward(
             dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
         )(h)

@@ -17,6 +17,7 @@ per-frame statistics, reference InflatedGroupNorm semantics,
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # fp32 VMEM footprint cap for the in-kernel [T, C] block
 _MAX_ELEMS = 3 * 1024 * 1024
+
+# A/B knobs: the norm kernels win in isolation but can lose globally by
+# breaking XLA's conv+norm mega-fusions (space-to-depth conv schedules fold
+# the GN stats pass in). Default picks are set from traced full-step A/Bs.
+_GN_KERNEL = os.environ.get("LIVE2DIFF_GN_KERNEL", "1") != "0"
+_LN_KERNEL = os.environ.get("LIVE2DIFF_LN_KERNEL", "1") != "0"
 
 
 def _kernel(x_ref, g_ref, b_ref, o_ref, *, groups, eps, act):
@@ -97,7 +104,7 @@ def group_norm_act(
     from .attention import _on_tpu
 
     b, t, c = x.shape
-    if _on_tpu() and t * c <= _MAX_ELEMS and c % groups == 0 and c % 8 == 0:
+    if _GN_KERNEL and _on_tpu() and t * c <= _MAX_ELEMS and c % groups == 0 and c % 8 == 0:
         return _group_norm_kernel(x, gamma, beta, groups, eps, act)
 
     xf = x.astype(jnp.float32)
@@ -116,4 +123,67 @@ def group_norm_act(
         y = jax.nn.silu(y)
     elif act == "relu":
         y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm
+# ---------------------------------------------------------------------------
+
+
+def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps):
+    xf = x_ref[...].astype(jnp.float32)  # [bt, C]
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * inv * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _layer_norm_kernel(x, gamma, beta, eps: float):
+    n, c = x.shape
+    bt = max(8, min(n, (2 * 1024 * 1024) // (4 * c) // 8 * 8))
+    grid = ((n + bt - 1) // bt,)
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, gamma[None], beta[None])
+
+
+def layer_norm(
+    x: jnp.ndarray,  # [..., C]
+    gamma: jnp.ndarray,  # [C]
+    beta: jnp.ndarray,  # [C]
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """LayerNorm over the trailing axis, fp32 statistics, per-row.
+
+    Pallas kernel on TPU (XLA's convert+reduce lowering runs well off the
+    memory bound for channels-last rows); plain XLA elsewhere.
+    """
+    from .attention import _on_tpu
+
+    c = x.shape[-1]
+    if _LN_KERNEL and _on_tpu() and c % 8 == 0 and x.size >= 1 << 14:
+        shape = x.shape
+        y = _layer_norm_kernel(x.reshape(-1, c), gamma, beta, eps)
+        return y.reshape(shape)
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return y.astype(x.dtype)

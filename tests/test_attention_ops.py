@@ -201,3 +201,35 @@ def test_group_norm_kernel_matches_flax_interpret():
         finally:
             A._BACKEND = old
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_layer_norm_kernel_matches_flax_interpret():
+    """Pallas fused LayerNorm == flax nn.LayerNorm (interpret + fallback)."""
+    import numpy as np
+    from flax import linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops import attention as A
+    from live2diff_tpu.ops.norm import layer_norm
+
+    rs = np.random.RandomState(6)
+    for shape in [(2, 200, 320), (1, 577, 768)]:
+        c = shape[-1]
+        x = jnp.asarray(rs.randn(*shape).astype(np.float32) * 2 + 0.5)
+        gamma = jnp.asarray(rs.randn(c).astype(np.float32))
+        beta = jnp.asarray(rs.randn(c).astype(np.float32))
+
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        ref = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
+
+        out_fb = layer_norm(x, gamma, beta, eps=1e-5)
+        np.testing.assert_allclose(np.asarray(out_fb), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+        old = A._BACKEND
+        A._BACKEND = "tpu"
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                out_k = layer_norm(x, gamma, beta, eps=1e-5)
+        finally:
+            A._BACKEND = old
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=2e-4, rtol=2e-4)
