@@ -45,6 +45,10 @@ def main() -> None:
                    help="strictly synchronous per-frame protocol (no pipelining)")
     p.add_argument("--sessions", type=int, default=1,
                    help="concurrent streams batched on one chip (aggregate fps)")
+    p.add_argument("--in-flight", type=int, default=2,
+                   help="pipelined protocol: bounded in-flight dispatch window")
+    p.add_argument("--uploaders", type=int, default=1,
+                   help="pipelined protocol: concurrent host->device upload threads")
     p.add_argument("--steps", type=int, nargs="*", default=[30, 40],
                    help="t_index_list (2 entries = reference speed-table setting)")
     args = p.parse_args()
@@ -194,7 +198,11 @@ def main() -> None:
             (rng.rand(height, width, 3) * 255).astype(np.uint8)
             for _ in range(args.frames)
         ]
-        ps = PipelinedStream(stream, state, max_in_flight=2)
+        ps = PipelinedStream(
+            stream, state,
+            max_in_flight=args.in_flight,
+            upload_threads=args.uploaders,
+        )
         t0 = time.perf_counter()
         n_out = 0
         for _ in ps.map(frames):

@@ -76,7 +76,8 @@ class BasicTransformerBlock(nn.Module):
 
         def ln(name):
             return FusedLayerNorm(
-                epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+                epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
+                site="spatial", name=name,
             )
 
         h = ln("norm1")(hidden_states)

@@ -143,6 +143,7 @@ class FusedLayerNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    site: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -152,7 +153,7 @@ class FusedLayerNorm(nn.Module):
 
         from ..ops.norm import layer_norm
 
-        return layer_norm(x, scale, bias, eps=self.epsilon).astype(self.dtype)
+        return layer_norm(x, scale, bias, eps=self.epsilon, site=self.site).astype(self.dtype)
 
 
 def group_norm(

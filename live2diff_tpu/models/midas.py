@@ -128,7 +128,7 @@ class ViTBlock(nn.Module):
         head_dim = self.hidden // self.heads
 
         def ln(name):
-            return FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+            return FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, site="vit",
                                   param_dtype=self.param_dtype, name=name)
 
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)

@@ -184,7 +184,8 @@ class TemporalTransformerBlock(nn.Module):
         new_caches = []
         for i, _block_type in enumerate(self.attention_block_types):
             h = FusedLayerNorm(
-                epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=f"norms_{i}"
+                epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
+                site="temporal", name=f"norms_{i}",
             )(hidden_states)
             attn_out, new_cache = TemporalAttention(
                 query_dim=self.dim, heads=self.heads, pe_max_len=self.pe_max_len,
@@ -196,7 +197,8 @@ class TemporalTransformerBlock(nn.Module):
             new_caches.append(new_cache)
 
         h = FusedLayerNorm(
-            epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ff_norm"
+            epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
+            site="temporal", name="ff_norm",
         )(hidden_states)
         hidden_states = hidden_states + GEGLUFeedForward(
             dim=self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"

@@ -32,6 +32,12 @@ _MAX_ELEMS = 3 * 1024 * 1024
 # the GN stats pass in). Default picks are set from traced full-step A/Bs.
 _GN_KERNEL = os.environ.get("LIVE2DIFF_GN_KERNEL", "1") != "0"
 _LN_KERNEL = os.environ.get("LIVE2DIFF_LN_KERNEL", "1") != "0"
+# debug bisect: restrict the LN kernel to given channel sizes, e.g. "320,640"
+_LN_SITES = os.environ.get("LIVE2DIFF_LN_SITES", "")
+_LN_SITE_SET = {int(s) for s in _LN_SITES.split(",") if s.strip()} if _LN_SITES else None
+# debug bisect: restrict the LN kernel to tagged call sites, e.g. "spatial,vit"
+_LN_TAGS = os.environ.get("LIVE2DIFF_LN_TAGS", "")
+_LN_SITE_TAGS = {t.strip() for t in _LN_TAGS.split(",") if t.strip()}
 
 
 def _kernel(x_ref, g_ref, b_ref, o_ref, *, groups, eps, act):
@@ -167,6 +173,7 @@ def layer_norm(
     gamma: jnp.ndarray,  # [C]
     beta: jnp.ndarray,  # [C]
     eps: float = 1e-5,
+    site: str = "",
 ) -> jnp.ndarray:
     """LayerNorm over the trailing axis, fp32 statistics, per-row.
 
@@ -176,7 +183,14 @@ def layer_norm(
     from .attention import _on_tpu
 
     c = x.shape[-1]
-    if _LN_KERNEL and _on_tpu() and c % 8 == 0 and x.size >= 1 << 14:
+    if (
+        _LN_KERNEL
+        and _on_tpu()
+        and c % 8 == 0
+        and x.size >= 1 << 14
+        and (_LN_SITE_SET is None or c in _LN_SITE_SET)
+        and (not _LN_SITE_TAGS or site in _LN_SITE_TAGS)
+    ):
         shape = x.shape
         y = _layer_norm_kernel(x.reshape(-1, c), gamma, beta, eps)
         return y.reshape(shape)

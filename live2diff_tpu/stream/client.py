@@ -38,14 +38,22 @@ class PipelinedStream:
     or incrementally with ``submit(frame)`` / ``drain()``.
     """
 
-    def __init__(self, stream, state, max_in_flight: int = 2, upload_depth: int = 2):
+    def __init__(
+        self,
+        stream,
+        state,
+        max_in_flight: int = 2,
+        upload_depth: int = 2,
+        upload_threads: int = 1,
+    ):
         import jax
 
         self._jax = jax
         self.stream = stream
         self.state = state
         self.max_in_flight = max_in_flight
-        self._upload_q: queue.Queue = queue.Queue(maxsize=upload_depth)
+        self.upload_threads = upload_threads
+        self._upload_q: queue.Queue = queue.Queue(maxsize=max(upload_depth, upload_threads))
         self._in_flight: collections.deque = collections.deque()
         self._uploader: Optional[threading.Thread] = None
         self.frame_times: list = []
@@ -79,27 +87,98 @@ class PipelinedStream:
     # -- bulk API with threaded uploads -------------------------------------
 
     def map(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
-        """Stream frames through the pipeline with a background uploader."""
+        """Stream frames through the pipeline with background uploader(s).
+
+        With ``upload_threads > 1`` several host->device transfers are kept
+        in flight at once (the transfer path is latency-bound over a network
+        tunnel; on a TPU VM one thread already saturates PCIe). Dispatch
+        order is preserved via an index-ordered reorder buffer.
+        """
         jax = self._jax
-        done = object()
+        if self.upload_threads <= 1:
+            done = object()
+
+            def uploader():
+                for f in frames:
+                    self._upload_q.put(jax.device_put(f))
+                self._upload_q.put(done)
+
+            self._uploader = threading.Thread(target=uploader, daemon=True)
+            self._uploader.start()
+            while True:
+                dev = self._upload_q.get()
+                if dev is done:
+                    break
+                self.state, out = self.stream(self.state, dev)
+                self._in_flight.append(out)
+                if len(self._in_flight) > self.max_in_flight:
+                    yield self._pop_ready()
+            yield from self.drain()
+            self._uploader.join()
+            return
+
+        in_q: queue.Queue = queue.Queue(maxsize=2 * self.upload_threads)
+        ready: dict = {}
+        cv = threading.Condition()
+        n_frames = None  # set by the feeder once the input is exhausted
+        next_i = 0
+        window = max(self.upload_threads * 2, 4)
+
+        def feeder():
+            nonlocal n_frames
+            i = 0
+            for f in frames:
+                in_q.put((i, f))
+                i += 1
+            with cv:
+                n_frames = i
+                cv.notify_all()
+            for _ in range(self.upload_threads):
+                in_q.put(None)
 
         def uploader():
-            for f in frames:
-                self._upload_q.put(jax.device_put(f))
-            self._upload_q.put(done)
+            while True:
+                item = in_q.get()
+                if item is None:
+                    return
+                i, f = item
+                with cv:
+                    # bound the reorder buffer relative to the consumer so
+                    # device memory stays flat; the frame the consumer waits
+                    # for (i == next_i) is never blocked
+                    cv.wait_for(lambda: i < next_i + window)
+                dev = jax.device_put(f)
+                jax.block_until_ready(dev)
+                with cv:
+                    ready[i] = dev
+                    cv.notify_all()
 
-        self._uploader = threading.Thread(target=uploader, daemon=True)
-        self._uploader.start()
+        threads = [threading.Thread(target=feeder, daemon=True)]
+        threads += [
+            threading.Thread(target=uploader, daemon=True)
+            for _ in range(self.upload_threads)
+        ]
+        for t in threads:
+            t.start()
+
         while True:
-            dev = self._upload_q.get()
-            if dev is done:
-                break
+            with cv:
+                cv.wait_for(
+                    lambda: next_i in ready
+                    or (n_frames is not None and next_i >= n_frames)
+                )
+                if n_frames is not None and next_i >= n_frames:
+                    break
+                dev = ready.pop(next_i)
+                next_i += 1
+                cv.notify_all()
             self.state, out = self.stream(self.state, dev)
             self._in_flight.append(out)
             if len(self._in_flight) > self.max_in_flight:
                 yield self._pop_ready()
         yield from self.drain()
-        self._uploader.join()
+        for t in threads:
+            t.join()
 
     # -- stats ---------------------------------------------------------------
 
