@@ -30,7 +30,9 @@ import time
 
 import numpy as np
 
-BASELINE_FPS = 16.43  # reference: 512x512, 2 steps, TensorRT, RTX 4090
+# reference speed table (/root/reference/README.md:43-50), TensorRT, RTX 4090
+_BASELINES = {(512, 512): 16.43, (768, 512): 12.15}
+BASELINE_FPS = 16.43  # 512x512, 2 steps
 
 
 def main() -> None:
@@ -109,6 +111,7 @@ def main() -> None:
     prompt = encode_prompt_for_pipeline(built, "masterpiece, best quality, a benchmark")
 
     rng = np.random.RandomState(0)
+    baseline_fps = _BASELINES.get((width, height), BASELINE_FPS)
 
     if args.sessions > 1:
         # multi-session serving: S streams batched along a session axis,
@@ -151,7 +154,7 @@ def main() -> None:
             "metric": f"aggregate_fps_{width}x{height}_{len(args.steps)}steps_{s}sessions",
             "value": round(fps, 2),
             "unit": "fps",
-            "vs_baseline": round(fps / BASELINE_FPS, 3),
+            "vs_baseline": round(fps / baseline_fps, 3),
         }))
         return
 
@@ -221,7 +224,7 @@ def main() -> None:
         "metric": f"fps_{width}x{height}_{len(args.steps)}steps",
         "value": round(fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / baseline_fps, 3),
     }))
 
 

@@ -26,6 +26,13 @@ from typing import Iterable, Iterator, Optional
 import numpy as np
 
 
+class _UploadError:
+    """Marker carrying an exception from an uploader thread to the consumer."""
+
+    def __init__(self, exc: Exception):
+        self.exc = exc
+
+
 class PipelinedStream:
     """Throughput-oriented wrapper over ``StreamDiffusionDepth``.
 
@@ -147,8 +154,15 @@ class PipelinedStream:
                     # device memory stays flat; the frame the consumer waits
                     # for (i == next_i) is never blocked
                     cv.wait_for(lambda: i < next_i + window)
-                dev = jax.device_put(f)
-                jax.block_until_ready(dev)
+                try:
+                    dev = jax.device_put(f)
+                    jax.block_until_ready(dev)
+                except Exception:
+                    try:  # one retry for transient transport errors
+                        dev = jax.device_put(f)
+                        jax.block_until_ready(dev)
+                    except Exception as e:  # propagate to the consumer
+                        dev = _UploadError(e)
                 with cv:
                     ready[i] = dev
                     cv.notify_all()
@@ -172,6 +186,8 @@ class PipelinedStream:
                 dev = ready.pop(next_i)
                 next_i += 1
                 cv.notify_all()
+            if isinstance(dev, _UploadError):
+                raise dev.exc
             self.state, out = self.stream(self.state, dev)
             self._in_flight.append(out)
             if len(self._in_flight) > self.max_in_flight:
