@@ -127,7 +127,7 @@ class Transformer3DModel(nn.Module):
         x, _ = fold_frames(hidden_states)  # [BF, H, W, C]
         x = FusedGroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="norm",
+            dtype=self.dtype, param_dtype=self.param_dtype, site="attn_in", name="norm",
         )(x)
         x = nn.Conv(
             inner, kernel_size=(1, 1), dtype=self.dtype, param_dtype=self.param_dtype,

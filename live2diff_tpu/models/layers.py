@@ -120,6 +120,7 @@ class FusedGroupNorm(nn.Module):
     act: str = "none"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    site: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -131,7 +132,7 @@ class FusedGroupNorm(nn.Module):
 
         y = group_norm_act(
             x.reshape(x.shape[0], -1, c), scale, bias,
-            groups=self.num_groups, eps=self.epsilon, act=self.act,
+            groups=self.num_groups, eps=self.epsilon, act=self.act, site=self.site,
         )
         return y.reshape(x.shape).astype(self.dtype)
 

@@ -83,7 +83,7 @@ class GNReLU(nn.Module):
     def __call__(self, x):
         return FusedGroupNorm(num_groups=self.groups, epsilon=1e-5, act="relu",
                               dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="norm")(x)
+                              site="midas", name="norm")(x)
 
 
 class ResNetV2Bottleneck(nn.Module):
@@ -103,7 +103,7 @@ class ResNetV2Bottleneck(nn.Module):
             shortcut = StdConv(self.out_channels, (1, 1), (self.stride, self.stride),
                                padding=0, use_bias=False, name="downsample_conv", **kw)(x)
             shortcut = FusedGroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                                      param_dtype=self.param_dtype,
+                                      param_dtype=self.param_dtype, site="midas",
                                       name="downsample_norm")(shortcut)
         h = StdConv(mid, (1, 1), padding=0, use_bias=False, name="conv1", **kw)(x)
         h = GNReLU(name="norm1", **kw)(h)
@@ -112,7 +112,7 @@ class ResNetV2Bottleneck(nn.Module):
         h = GNReLU(name="norm2", **kw)(h)
         h = StdConv(self.out_channels, (1, 1), padding=0, use_bias=False, name="conv3", **kw)(h)
         h = FusedGroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="norm3")(h)
+                           param_dtype=self.param_dtype, site="midas", name="norm3")(h)
         return nn.relu(h + shortcut)
 
 

@@ -240,7 +240,7 @@ class TemporalTransformer3DModel(nn.Module):
         # per-frame GroupNorm statistics: fold frames into batch first
         x = FusedGroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="norm",
+            dtype=self.dtype, param_dtype=self.param_dtype, site="motion_in", name="norm",
         )(hidden_states.reshape(b * f, height, width, channels))
         x = x.reshape(b, f, height, width, channels)
         x = nn.Dense(

@@ -82,6 +82,7 @@ class InflatedGroupNorm(nn.Module):
             act=self.act,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            site="resnet",
             name="norm",
         )(folded)
         return unfold_frames(out, f)

@@ -31,6 +31,16 @@ _MAX_ELEMS = 3 * 1024 * 1024
 # breaking XLA's conv+norm mega-fusions (space-to-depth conv schedules fold
 # the GN stats pass in). Default picks are set from traced full-step A/Bs.
 _GN_KERNEL = os.environ.get("LIVE2DIFF_GN_KERNEL", "1") != "0"
+# Which call sites use the Pallas GN kernel. Traced full-step A/Bs: ANY
+# norm custom-call adjacent to the UNet/MiDaS convs breaks XLA's
+# space-to-depth conv schedules and costs ~8 ms/frame globally (kernel-off
+# full step 46.7 ms vs 54.4-55.0 for every kernel-on combination), far more
+# than the ~1 ms the kernel itself saves. Default: off everywhere
+# ("none" matches no site); opt in per site or with "all" for experiments.
+_GN_TAGS = os.environ.get("LIVE2DIFF_GN_TAGS", "none")
+_GN_SITE_TAGS = {t.strip() for t in _GN_TAGS.split(",") if t.strip()}
+if "all" in _GN_SITE_TAGS:
+    _GN_SITE_TAGS = set()
 _LN_KERNEL = os.environ.get("LIVE2DIFF_LN_KERNEL", "1") != "0"
 # debug bisect: restrict the LN kernel to given channel sizes, e.g. "320,640"
 _LN_SITES = os.environ.get("LIVE2DIFF_LN_SITES", "")
@@ -107,6 +117,7 @@ def group_norm_act(
     groups: int = 32,
     eps: float = 1e-5,
     act: str = "none",
+    site: str = "",
 ) -> jnp.ndarray:
     """GroupNorm over [B, T, C] with per-B fp32 statistics, optional SiLU.
 
@@ -116,7 +127,14 @@ def group_norm_act(
     from .attention import _on_tpu
 
     b, t, c = x.shape
-    if _GN_KERNEL and _on_tpu() and t * c <= _MAX_ELEMS and c % groups == 0 and c % 8 == 0:
+    if (
+        _GN_KERNEL
+        and _on_tpu()
+        and t * c <= _MAX_ELEMS
+        and c % groups == 0
+        and c % 8 == 0
+        and (not _GN_SITE_TAGS or site in _GN_SITE_TAGS)
+    ):
         return _group_norm_kernel(x, gamma, beta, groups, eps, act)
 
     xf = x.astype(jnp.float32)
