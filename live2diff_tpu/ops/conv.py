@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -72,14 +73,21 @@ def _pack_weights(w: jnp.ndarray, p: int) -> jnp.ndarray:
     the halo-pad HBM traffic).
     """
     kh, kw, cin, cout = w.shape
-    wp = jnp.zeros((kh, 3, p * cin, p * cout), w.dtype)
+    # one einsum with a constant 0/1 selection tensor instead of p*kw
+    # dynamic-update-slices: the packing runs inside the jitted step (weights
+    # are jit arguments), and the DUS form cost ~0.8 ms/frame of serialized
+    # tiny updates; this folds to a single fused op.
+    sel = np.zeros((kw, 3, p, p), np.float32)
     for b in range(p):
         for dx in range(kw):
             idx = b + dx - 1
             a = idx % p
             dxp = (idx - a) // p + 1  # 0..2
-            wp = wp.at[:, dxp, a * cin:(a + 1) * cin, b * cout:(b + 1) * cout].set(w[:, dx])
-    return wp
+            sel[dx, dxp, a, b] = 1
+    wp = jnp.einsum(
+        "kdio,dpab->kpaibo", w.astype(jnp.float32), jnp.asarray(sel, jnp.float32)
+    )
+    return wp.reshape(kh, 3, p * cin, p * cout).astype(w.dtype)
 
 
 def _pick_pack(width: int, cin: int) -> int:

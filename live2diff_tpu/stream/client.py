@@ -52,6 +52,7 @@ class PipelinedStream:
         max_in_flight: int = 2,
         upload_depth: int = 2,
         upload_threads: int = 1,
+        upload_batch: int = 1,
     ):
         import jax
 
@@ -60,6 +61,7 @@ class PipelinedStream:
         self.state = state
         self.max_in_flight = max_in_flight
         self.upload_threads = upload_threads
+        self.upload_batch = upload_batch
         self._upload_q: queue.Queue = queue.Queue(maxsize=max(upload_depth, upload_threads))
         self._in_flight: collections.deque = collections.deque()
         self._uploader: Optional[threading.Thread] = None
@@ -104,10 +106,29 @@ class PipelinedStream:
         jax = self._jax
         if self.upload_threads <= 1:
             done = object()
+            batch = max(1, self.upload_batch)
 
             def uploader():
-                for f in frames:
-                    self._upload_q.put(jax.device_put(f))
+                if batch == 1:
+                    for f in frames:
+                        self._upload_q.put(jax.device_put(f))
+                else:
+                    # amortize per-transfer latency: ship `batch` frames in
+                    # one device_put, hand out device-side slices (adds
+                    # batch-1 frames of input latency; throughput win when
+                    # the transport is latency-bound)
+                    chunk = []
+                    for f in frames:
+                        chunk.append(f)
+                        if len(chunk) == batch:
+                            dev = jax.device_put(np.stack(chunk))
+                            for j in range(len(chunk)):
+                                self._upload_q.put(dev[j])
+                            chunk = []
+                    if chunk:
+                        dev = jax.device_put(np.stack(chunk))
+                        for j in range(len(chunk)):
+                            self._upload_q.put(dev[j])
                 self._upload_q.put(done)
 
             self._uploader = threading.Thread(target=uploader, daemon=True)

@@ -61,3 +61,21 @@ def test_empty_stream():
     ps = PipelinedStream(_FakeStream(), 0, upload_threads=3)
     ps._jax = _FakeJax()
     assert list(ps.map([])) == []
+
+
+def test_batched_upload_ordered():
+    class _BatchFakeJax:
+        @staticmethod
+        def device_put(x):
+            return x
+
+        @staticmethod
+        def block_until_ready(x):
+            return x
+
+    for n in (0, 1, 2, 7, 12):
+        ps = PipelinedStream(_FakeStream(), 0, max_in_flight=2, upload_batch=3)
+        ps._jax = _BatchFakeJax()
+        frames = [np.full((3,), i) for i in range(n)]
+        outs = list(ps.map(frames))
+        assert [int(o[0]) for o in outs] == [2 * i for i in range(n)]
