@@ -104,7 +104,7 @@ def _pick_pack(width: int, cin: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("relu", "block_h"))
-def conv3x3_fused(
+def _conv3x3_impl(
     x: jnp.ndarray,  # [B, H, W, Cin]
     w: jnp.ndarray,  # [3, 3, Cin, Cout]
     bias: jnp.ndarray,  # [Cout]
@@ -118,7 +118,7 @@ def conv3x3_fused(
 
     pack = _pick_pack(width, cin)
     if pack > 1:
-        out = conv3x3_fused(
+        out = _conv3x3_impl(
             x.reshape(bsz, h, width // pack, pack * cin),
             _pack_weights(w, pack),
             jnp.tile(bias, pack),
@@ -174,3 +174,70 @@ def conv3x3_fused(
             vmem_limit_bytes=40 * 1024 * 1024,
         ),
     )(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_vmappable(relu: bool, block_h: int, has_skip: bool):
+    """``custom_vmap`` wrapper: a vmapped session axis folds into the
+    kernel's batch grid dimension instead of hitting the (unsupported)
+    pallas batching rule for ANY-memory-space operands — multi-session
+    serving vmaps the whole frame step over stream state."""
+
+    if has_skip:
+
+        @jax.custom_batching.custom_vmap
+        def f(x, w, bias, skip):
+            return _conv3x3_impl(x, w, bias, skip, relu=relu, block_h=block_h)
+
+    else:
+
+        @jax.custom_batching.custom_vmap
+        def f(x, w, bias):
+            return _conv3x3_impl(x, w, bias, None, relu=relu, block_h=block_h)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, w, bias, *rest):
+        xb, wb, bb = in_batched[0], in_batched[1], in_batched[2]
+        sb = in_batched[3] if rest else False
+        skip = rest[0] if rest else None
+        if wb or bb:
+            # batched weights fall back to per-slice maps (not a serving case)
+            out = jax.lax.map(
+                lambda args: _conv3x3_impl(
+                    args[0], args[1], args[2], args[3] if rest else None,
+                    relu=relu, block_h=block_h),
+                (x if xb else jnp.broadcast_to(x[None], (axis_size, *x.shape)),
+                 w if wb else jnp.broadcast_to(w[None], (axis_size, *w.shape)),
+                 bias if bb else jnp.broadcast_to(bias[None], (axis_size, *bias.shape)))
+                + ((skip if sb else jnp.broadcast_to(skip[None], (axis_size, *skip.shape)),)
+                   if rest else ()),
+            )
+            return out, True
+        if not xb:
+            x = jnp.broadcast_to(x[None], (axis_size, *x.shape))
+        xf = x.reshape((-1,) + x.shape[2:])
+        if rest:
+            if not sb:
+                skip = jnp.broadcast_to(skip[None], (axis_size, *skip.shape))
+            sf = skip.reshape((-1,) + skip.shape[2:])
+            out = f(xf, w, bias, sf)
+        else:
+            out = f(xf, w, bias)
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return f
+
+
+def conv3x3_fused(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    skip: jnp.ndarray | None = None,
+    relu: bool = True,
+    block_h: int = 16,
+) -> jnp.ndarray:
+    """Public fused conv; see ``_conv3x3_impl``. vmap-safe (session axis
+    folds into the batch grid dim via ``custom_vmap``)."""
+    if skip is None:
+        return _conv_vmappable(relu, block_h, False)(x, w, bias)
+    return _conv_vmappable(relu, block_h, True)(x, w, bias, skip)

@@ -36,6 +36,7 @@ class MultiStream:
         )
         self._jit_prepare = jax.jit(
             jax.vmap(stream._warmup_denoise, in_axes=(None, 0, 0, 0)),
+            donate_argnums=(1,),
         )
         self._prompts = None
 

@@ -233,3 +233,27 @@ def test_layer_norm_kernel_matches_flax_interpret():
         finally:
             A._BACKEND = old
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_conv3x3_custom_vmap_folds_sessions():
+    """vmapping the fused conv folds the session axis into the batch grid
+    (custom_vmap), matching per-slice results — the multi-session serving
+    path (stream/multi.py) vmaps the whole frame step over stream state."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops.conv import conv3x3_fused
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(3, 2, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 8, 8).astype(np.float32))
+    b = jnp.asarray(rs.randn(8).astype(np.float32))
+    skip = jnp.asarray(rs.randn(3, 2, 16, 16, 8).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        out_v = jax.vmap(lambda xx, ss: conv3x3_fused(xx, w, b, ss))(x, skip)
+        ref = jnp.stack([conv3x3_fused(x[i], w, b, skip[i]) for i in range(3)])
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref), atol=1e-5)
+        out_v2 = jax.vmap(lambda xx: conv3x3_fused(xx, w, b, relu=False))(x)
+        ref2 = jnp.stack([conv3x3_fused(x[i], w, b, relu=False) for i in range(3)])
+        np.testing.assert_allclose(np.asarray(out_v2), np.asarray(ref2), atol=1e-5)
