@@ -53,14 +53,54 @@ class MultiStream:
         )
 
     def prepare(self, warmup_frames: np.ndarray, prompt_embeds: jnp.ndarray,
-                seeds=None) -> Tuple[StreamState, np.ndarray]:
-        """warmup_frames: [S, 8, H, W, 3]; prompt_embeds: [S, 77, 768]."""
+                seeds=None, sequential: bool = True) -> Tuple[StreamState, np.ndarray]:
+        """warmup_frames: [S, 8, H, W, 3]; prompt_embeds: [S, 77, 768].
+
+        ``sequential`` (default) runs one warmup per session through the
+        single-stream program: the vmapped warmup's batch-8*S UNet
+        activations are the HBM peak and cap the session count well below
+        what the steady-state step supports. Warmup is off the hot path, so
+        trading a few hundred ms of prepare latency for S headroom wins.
+        """
         self.set_prompts(prompt_embeds)
-        states = self.init_states(seeds)
-        states, out = self._jit_prepare(
-            self.stream.params, states, jnp.asarray(warmup_frames), self._prompts
+        if not sequential:
+            states = self.init_states(seeds)
+            states, out = self._jit_prepare(
+                self.stream.params, states, jnp.asarray(warmup_frames), self._prompts
+            )
+            return states, np.asarray(out)
+
+        seeds = seeds or range(self.num_sessions)
+
+        # donated in-place scatter: peak HBM = S*state + 1 state instead of
+        # 2*S*state (the caches are ~3 GB/session at 512x512)
+        @jax.jit
+        def _alloc(st):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.zeros((self.num_sessions, *a.shape), a.dtype), st
+            )
+
+        write = jax.jit(
+            lambda stacked, st, i: jax.tree_util.tree_map(
+                lambda a, b: jax.lax.dynamic_update_index_in_dim(a, b, i, 0),
+                stacked, st,
+            ),
+            donate_argnums=(0, 1),
         )
-        return states, np.asarray(out)
+
+        states = None
+        per_out = []
+        for i, seed in enumerate(seeds):
+            st = self.stream.init_state(seed)
+            st, out = self.stream._jit_prepare(
+                self.stream.params, st, jnp.asarray(warmup_frames[i]),
+                self._prompts[i],
+            )
+            if states is None:
+                states = _alloc(st)
+            states = write(states, st, i)
+            per_out.append(np.asarray(out))
+        return states, np.stack(per_out)
 
     def __call__(self, states: StreamState, frames: np.ndarray):
         """frames: [S, H, W, 3] -> (states, [S, H, W, 3] outputs on device)."""
