@@ -54,6 +54,8 @@ def main() -> None:
     p.add_argument("--upload-batch", type=int, default=1,
                    help="frames per host->device transfer (single-uploader mode; "
                         "amortizes transport latency at +batch-1 frames input lag)")
+    p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16",
+                   help="KV-cache storage: int8 halves cache HBM + read bandwidth")
     p.add_argument("--steps", type=int, nargs="*", default=[30, 40],
                    help="t_index_list (2 entries = reference speed-table setting)")
     args = p.parse_args()
@@ -108,6 +110,7 @@ def main() -> None:
         built = build_pipeline(
             config, height=height, width=width,
             use_depth=not args.no_depth, dtype=jnp.bfloat16,
+            kv_cache_dtype=args.kv_cache,
         )
 
     stream = built.stream

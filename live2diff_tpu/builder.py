@@ -83,6 +83,7 @@ def build_pipeline(
     lora_dict: Optional[Dict[str, float]] = None,
     unet_overrides: Optional[Dict] = None,
     param_dtype=None,
+    kv_cache_dtype=None,
 ) -> BuiltPipeline:
     """Build the full streaming pipeline from a reference-style YAML config."""
     cfg: ConfigDict = load_config(config) if isinstance(config, str) else ConfigDict.wrap(config)
@@ -109,15 +110,21 @@ def build_pipeline(
     )
     unet = UNet3DConditionModel(config=unet_cfg, dtype=dtype, param_dtype=param_dtype)
 
+    # int8 caches (kv_cache_dtype=jnp.int8 or "int8"): half cache HBM and
+    # stream-attention bandwidth; ~0.4% per-element quantisation error
+    if isinstance(kv_cache_dtype, str):
+        kv_cache_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16,
+                          "bfloat16": jnp.bfloat16}[kv_cache_dtype]
+    cache_dtype = kv_cache_dtype or dtype
     scfg = StreamConfig(
         height=height, width=width,
         vae_scaling=1.0 if use_tiny_vae else 0.18215,
         do_add_noise=do_add_noise,
-        cache_dtype=dtype,
+        cache_dtype=cache_dtype,
     )
     lh, lw = scfg.latent_height, scfg.latent_width
 
-    caches = unet_cfg.init_caches(lh, lw, n, dtype=dtype)
+    caches = unet_cfg.init_caches(lh, lw, n, dtype=cache_dtype)
     mask, pe_idx, update_idx = init_window_state(n, unet_cfg.window_size, unet_cfg.sink_size)
     init_args = (
         jnp.zeros((n, 1, lh, lw, 4), dtype), jnp.zeros((n,), jnp.int32),

@@ -26,7 +26,7 @@ round-trip, everything inside one compiled step.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +35,35 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention, stream_window_attention
 from .layers import FusedGroupNorm, FusedLayerNorm, GEGLUFeedForward, sinusoidal_table
 
-KVCache = jnp.ndarray  # [steps, 2, window, C, HW] (window-major, positions on lanes)
+# [steps, 2, window, C, HW] bf16 (window-major, positions on lanes), or — in
+# int8 cache mode — a (data int8 [steps,2,window,C,HW], scales f32
+# [steps,2,window,heads]) tuple with symmetric per-(slot, head) quantisation.
+# int8 halves both cache HBM capacity (3.0 GB/session at 512x512 -> 1.5 GB)
+# and the stream-attention kernel's cache read bandwidth.
+KVCache = Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]
 
 
-def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: jnp.ndarray) -> KVCache:
+def _quantize_kv(x: jnp.ndarray, heads: int, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantisation with per-head scales.
+
+    x: [..., C] with C = heads*dh; ``axes`` are the axes to reduce the
+    absmax over **after** the head split (C axis becomes (heads, dh)).
+    Returns (int8 values, f32 scales with the reduced axes dropped).
+    """
+    xh = x.reshape(*x.shape[:-1], heads, x.shape[-1] // heads)
+    amax = jnp.max(jnp.abs(xh.astype(jnp.float32)), axis=axes)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    expand = scale
+    for a in sorted(axes):
+        expand = jnp.expand_dims(expand, a)
+    q = jnp.clip(jnp.round(xh.astype(jnp.float32) / expand), -127, 127).astype(jnp.int8)
+    return q.reshape(x.shape), scale
+
+
+def write_kv_stream(
+    cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: jnp.ndarray,
+    heads: int = 8,
+) -> KVCache:
     """Scatter the new frame's K/V into per-step cache slots.
 
     cache: [steps, 2, window, C, HW]; k, v: [steps, HW, C];
@@ -47,7 +72,27 @@ def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: 
     loop is unrolled (steps is 2..4) — vmap'ing it makes XLA emit a
     layout-normalising copy of the whole cache, the unrolled form updates in
     place under donation.
+
+    In int8 cache mode K/V are quantised per (step, head) on write and the
+    matching scale rows are scattered into the scale array.
     """
+    if isinstance(cache, tuple):
+        data, scales = cache
+        steps = data.shape[0]
+        k8, ks = _quantize_kv(k, heads, (1, 3))  # [steps,HW,C] -> scales [steps,heads]
+        v8, vs = _quantize_kv(v, heads, (1, 3))
+        kv = jnp.stack([k8, v8], axis=1)  # [steps, 2, HW, C] int8
+        kv = jnp.swapaxes(kv, -1, -2)  # [steps, 2, C, HW]
+        sc = jnp.stack([ks, vs], axis=1)  # [steps, 2, heads] f32
+        for i in range(steps):
+            data = jax.lax.dynamic_update_slice(
+                data, kv[i : i + 1, :, None], (i, 0, update_idx[i], 0, 0)
+            )
+            scales = jax.lax.dynamic_update_slice(
+                scales, sc[i : i + 1, :, None], (i, 0, update_idx[i], 0)
+            )
+        return (data, scales)
+
     steps = cache.shape[0]
     kv = jnp.stack([k, v], axis=1).astype(cache.dtype)  # [steps, 2, HW, C]
     kv = jnp.swapaxes(kv, -1, -2)  # [steps, 2, C, HW]
@@ -58,11 +103,23 @@ def write_kv_stream(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, update_idx: 
     return cache
 
 
-def write_kv_warmup(cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx) -> KVCache:
+def write_kv_warmup(
+    cache: KVCache, k: jnp.ndarray, v: jnp.ndarray, step_idx, heads: int = 8
+) -> KVCache:
     """Fill cache slots 0..F-1 of denoising-step row ``step_idx`` with warmup K/V.
 
     k, v: [HW, F, C] (F = number of warmup frames).
     """
+    if isinstance(cache, tuple):
+        data, scales = cache
+        k8, ks = _quantize_kv(k, heads, (0, 3))  # [HW,F,C] -> scales [F,heads]
+        v8, vs = _quantize_kv(v, heads, (0, 3))
+        kv = jnp.stack([k8, v8], axis=0)  # [2, HW, F, C]
+        kv = jnp.transpose(kv, (0, 2, 3, 1))[None]  # [1, 2, F, C, HW]
+        sc = jnp.stack([ks, vs], axis=0)[None]  # [1, 2, F, heads]
+        data = jax.lax.dynamic_update_slice(data, kv, (step_idx, 0, 0, 0, 0))
+        scales = jax.lax.dynamic_update_slice(scales, sc, (step_idx, 0, 0, 0))
+        return (data, scales)
     kv = jnp.stack([k, v], axis=0)  # [2, HW, F, C]
     kv = jnp.transpose(kv, (0, 2, 3, 1))[None]  # [1, 2, F, C, HW]
     return jax.lax.dynamic_update_slice(
@@ -123,8 +180,12 @@ class TemporalAttention(nn.Module):
             new_cache = kv_cache
         elif mode == "warmup":
             # cache the PE-free K/V of the warmup frames at slots 0..f-1
+            cdt = kv_cache[0].dtype if isinstance(kv_cache, tuple) else kv_cache.dtype
             new_cache = write_kv_warmup(
-                kv_cache, k[0].astype(kv_cache.dtype), v[0].astype(kv_cache.dtype), warmup_step_idx
+                kv_cache,
+                k[0] if isinstance(kv_cache, tuple) else k[0].astype(cdt),
+                v[0] if isinstance(kv_cache, tuple) else v[0].astype(cdt),
+                warmup_step_idx, heads=heads,
             )
             # bidirectional attention over the clip with absolute PE 0..f-1
             q = q + pe_q[None, None, :f]
@@ -134,7 +195,7 @@ class TemporalAttention(nn.Module):
         elif mode == "stream":
             # f == 1: write this frame's K/V into its per-step slot
             assert f == 1, "stream mode processes one frame per denoising step"
-            new_cache = write_kv_stream(kv_cache, k[:, :, 0], v[:, :, 0], update_idx)
+            new_cache = write_kv_stream(kv_cache, k[:, :, 0], v[:, :, 0], update_idx, heads=heads)
             # gather PE rows: K/V by pe_idx, Q by its own slot's PE index
             k_pe = pe_k[pe_idx]  # [steps, window, C]
             v_pe = pe_v[pe_idx]

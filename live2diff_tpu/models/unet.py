@@ -110,11 +110,21 @@ class UNetConfig:
 
     def init_caches(
         self, latent_height: int, latent_width: int, num_steps: int, dtype=jnp.bfloat16
-    ) -> Tuple[jnp.ndarray, ...]:
-        return tuple(
-            jnp.zeros(s, dtype=dtype)
-            for s in self.cache_shapes(latent_height, latent_width, num_steps)
-        )
+    ):
+        """Zeroed KV-caches; ``dtype=jnp.int8`` selects the quantised cache
+        layout (per-layer ``(int8 data, f32 per-(slot, head) scales)`` pairs
+        — half the HBM capacity and stream-attention read bandwidth)."""
+        shapes = self.cache_shapes(latent_height, latent_width, num_steps)
+        if dtype == jnp.int8:
+            heads = self.motion_num_attention_heads
+            return tuple(
+                (
+                    jnp.zeros(s, dtype=jnp.int8),
+                    jnp.ones((s[0], 2, s[2], heads), jnp.float32),
+                )
+                for s in shapes
+            )
+        return tuple(jnp.zeros(s, dtype=dtype) for s in shapes)
 
     @classmethod
     def from_reference_config(cls, cfg: dict, **overrides) -> "UNetConfig":

@@ -165,7 +165,9 @@ def stream_window_attention(
     Returns ``[steps, HW, C]`` in q's dtype.
     """
     s, hw, c = q.shape
-    window = kv_cache.shape[2]
+    quantized = isinstance(kv_cache, tuple)
+    cache_data = kv_cache[0] if quantized else kv_cache
+    window = cache_data.shape[2]
     dh = c // heads
     scale = dh**-0.5 if scale is None else scale
     dt = q.dtype
@@ -178,28 +180,56 @@ def stream_window_attention(
     # the kernel exists to avoid costs ~10 MB) and the sub-128 lane extent
     # makes XLA wrap every kernel call in full-cache relayout copies.
     if _on_tpu() and hw % 128 == 0:
-        from .stream_attention import stream_window_attention_kernel
+        from .stream_attention import (
+            stream_window_attention_kernel,
+            stream_window_attention_kernel_int8,
+        )
 
         # PE logits: real MXU matmul, [s, window, heads, hw] fp32 (few MB)
         pe_logits = jnp.einsum(
             "sphd,swhd->swhp", qh, pkh, preferred_element_type=jnp.float32
         )
         extra = pe_logits * scale + bias.astype(jnp.float32)[:, :, None, None]
-        out_t = stream_window_attention_kernel(
-            jnp.swapaxes(q_full, 1, 2),
-            kv_cache,
-            extra,
-            jnp.swapaxes(pe_v, 1, 2).astype(jnp.float32),  # [s, C, window]
-            scale=float(scale),
-            heads=heads,
-        )
+        if quantized:
+            scales = kv_cache[1]  # [s, 2, window, heads] f32
+            k_scales_t = jnp.swapaxes(scales[:, 0], 1, 2)  # [s, heads, window]
+            # expand V's per-head scales to channels, pe_v-style layout
+            v_scales_c = jnp.repeat(
+                jnp.swapaxes(scales[:, 1], 1, 2), dh, axis=1
+            )  # [s, C, window]
+            out_t = stream_window_attention_kernel_int8(
+                jnp.swapaxes(q_full, 1, 2),
+                cache_data,
+                extra,
+                jnp.swapaxes(pe_v, 1, 2).astype(jnp.float32),  # [s, C, window]
+                k_scales_t.astype(jnp.float32),
+                v_scales_c.astype(jnp.float32),
+                scale=float(scale),
+                heads=heads,
+            )
+        else:
+            out_t = stream_window_attention_kernel(
+                jnp.swapaxes(q_full, 1, 2),
+                cache_data,
+                extra,
+                jnp.swapaxes(pe_v, 1, 2).astype(jnp.float32),  # [s, C, window]
+                scale=float(scale),
+                heads=heads,
+            )
         return jnp.swapaxes(out_t, 1, 2).astype(dt)
 
     pvh = pe_v.astype(dt).reshape(s, window, heads, dh)
     pe_logits = jnp.einsum("sphd,swhd->spwh", qh, pkh, preferred_element_type=jnp.float32)
     extra = pe_logits * scale + bias.astype(jnp.float32)[:, None, :, None]
-    kch = kv_cache[:, 0].astype(dt).reshape(s, window, heads, dh, hw)
-    vch = kv_cache[:, 1].astype(dt).reshape(s, window, heads, dh, hw)
+    if quantized:
+        scales = kv_cache[1].astype(jnp.float32)  # [s, 2, window, heads]
+        dq = cache_data.astype(jnp.float32).reshape(s, 2, window, heads, dh, hw)
+        dq = dq * scales[..., None, None]
+        kch = dq[:, 0].astype(dt)
+        vch = dq[:, 1].astype(dt)
+    else:
+        kch = cache_data[:, 0].astype(dt).reshape(s, window, heads, dh, hw)
+        vch = cache_data[:, 1].astype(dt).reshape(s, window, heads, dh, hw)
     logits = jnp.einsum(
         "sphd,swhdp->spwh", qh, kch, preferred_element_type=jnp.float32
     )

@@ -128,3 +128,110 @@ def stream_window_attention_kernel(
             vmem_limit_bytes=56 * 1024 * 1024,
         ),
     )(q_t, cache_t, cache_t, extra, pe_v_t)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV-cache variant
+# ---------------------------------------------------------------------------
+
+
+def _kernel_int8(
+    q_ref, k_ref, v_ref, extra_ref, pev_ref, ks_ref, vs_ref, out_ref,
+    *, scale, window, heads,
+):
+    """Same attention as ``_kernel`` over an int8 cache.
+
+    Dequantisation is nearly free at per-(slot, head) granularity: the K
+    scale multiplies the post-matmul ``[heads, bp]`` logits (40x smaller
+    than the ``[C, bp]`` operand), and the V scale arrives pre-expanded to
+    channels in the same tiny ``[C, window]`` layout as ``pe_v``.
+    """
+    q = q_ref[0]  # [C, bp] bf16
+    c, bp = q.shape
+    dh = c // heads
+    ci = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 1)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 0)
+    mask_t = (ci // dh == hi).astype(q.dtype)  # [heads, C]
+    mask_f = mask_t.T.astype(jnp.float32)  # [C, heads]
+
+    ks = ks_ref[0]  # [heads, window] f32
+
+    logits = []
+    for w in range(window):
+        prod = k_ref[0, 0, w].astype(q.dtype) * q  # int8 -> bf16, [C, bp]
+        lw = jax.lax.dot_general(
+            mask_t, prod, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (ks[:, w : w + 1] * scale)  # [heads, bp]
+        logits.append(lw + extra_ref[0, w])
+
+    m = logits[0]
+    for lw in logits[1:]:
+        m = jnp.maximum(m, lw)
+    ps = [jnp.exp(lw - m) for lw in logits]
+    l = ps[0]
+    for p in ps[1:]:
+        l = l + p
+    inv = 1.0 / l  # [heads, bp]
+
+    acc = jnp.zeros((c, bp), jnp.float32)
+    for w, p in enumerate(ps):
+        pfull = jax.lax.dot_general(
+            mask_f, p * inv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, bp]
+        v_eff = (
+            v_ref[0, 0, w].astype(jnp.float32) * vs_ref[0][:, w : w + 1]
+            + pev_ref[0][:, w : w + 1]
+        )  # [C, bp] + [C, 1]
+        acc = acc + v_eff * pfull
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "block_p"))
+def stream_window_attention_kernel_int8(
+    q_t: jnp.ndarray,  # [steps, C, HW]
+    cache_data: jnp.ndarray,  # [steps, 2, window, C, HW] int8
+    extra: jnp.ndarray,  # [steps, window, heads, HW] fp32
+    pe_v_t: jnp.ndarray,  # [steps, C, window] fp32
+    k_scales_t: jnp.ndarray,  # [steps, heads, window] fp32
+    v_scales_c: jnp.ndarray,  # [steps, C, window] fp32 (head scales on channels)
+    scale: float,
+    heads: int,
+    block_p: int = 0,
+):
+    s, c, hw = q_t.shape
+    window = cache_data.shape[2]
+    # int8 K+V halve the VMEM need per block vs bf16
+    bp = block_p or min(hw, 2 * _block_p(hw, c, window))
+    while hw % bp:
+        bp //= 2
+    grid = (s, hw // bp)
+
+    kernel = functools.partial(_kernel_int8, scale=scale, window=window, heads=heads)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((s, c, hw), q_t.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c, bp), lambda si, pi: (si, 0, pi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, window, c, bp), lambda si, pi: (si, 0, 0, 0, pi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, window, c, bp), lambda si, pi: (si, 1, 0, 0, pi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window, heads, bp), lambda si, pi: (si, 0, 0, pi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, window), lambda si, pi: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, window), lambda si, pi: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, window), lambda si, pi: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, bp), lambda si, pi: (si, 0, pi),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=56 * 1024 * 1024,
+        ),
+    )(q_t, cache_data, cache_data, extra, pe_v_t, k_scales_t, v_scales_c)

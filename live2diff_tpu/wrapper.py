@@ -71,6 +71,7 @@ class StreamV2VWrapper:
         engine_dir: str = "engines",
         dtype="bfloat16",
         unet_overrides: Optional[Dict] = None,
+        kv_cache_dtype: Optional[str] = None,
     ):
         import jax.numpy as jnp
 
@@ -93,6 +94,7 @@ class StreamV2VWrapper:
             do_add_noise=do_add_noise,
             lora_dict=lora_dict,
             unet_overrides=unet_overrides,
+            kv_cache_dtype=kv_cache_dtype,
         )
         if self.built.missing_artifacts:
             print(

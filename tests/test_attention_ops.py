@@ -257,3 +257,34 @@ def test_conv3x3_custom_vmap_folds_sessions():
         out_v2 = jax.vmap(lambda xx: conv3x3_fused(xx, w, b, relu=False))(x)
         ref2 = jnp.stack([conv3x3_fused(x[i], w, b, relu=False) for i in range(3)])
         np.testing.assert_allclose(np.asarray(out_v2), np.asarray(ref2), atol=1e-5)
+
+
+def test_stream_window_kernel_int8_matches_xla_interpret():
+    """Pallas int8 stream-window kernel == XLA fallback dequant (interpret)."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    import live2diff_tpu.ops.attention as A
+
+    rs = np.random.RandomState(2)
+    s, hw, heads, dh, window = 2, 128, 4, 8, 16
+    c = heads * dh
+    q = jnp.asarray(rs.randn(s, hw, c).astype(np.float32))
+    data = jnp.asarray(rs.randint(-127, 128, (s, 2, window, c, hw)).astype(np.int8))
+    scales = jnp.asarray((rs.rand(s, 2, window, heads) * 0.05 + 0.01).astype(np.float32))
+    cache = (data, scales)
+    pe_q = jnp.asarray(rs.randn(s, c).astype(np.float32))
+    pe_k = jnp.asarray(rs.randn(s, window, c).astype(np.float32))
+    pe_v = jnp.asarray(rs.randn(s, window, c).astype(np.float32))
+    bias = jnp.asarray((rs.rand(s, window) > 0.3).astype(np.float32) * -1e9)
+
+    ref = A.stream_window_attention(q, cache, pe_q, pe_k, pe_v, bias, heads)
+
+    old = A._BACKEND
+    A._BACKEND = "tpu"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = A.stream_window_attention(q, cache, pe_q, pe_k, pe_v, bias, heads)
+    finally:
+        A._BACKEND = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)

@@ -130,3 +130,42 @@ def test_streaming_after_eviction_attends_window_only(module_and_params):
         outs[-1], np.asarray(out2[:, 0]), rtol=2e-4, atol=2e-4,
         err_msg="post-eviction window attention mismatch",
     )
+
+
+def test_streaming_int8_cache_close_to_full_attention(module_and_params):
+    """int8 KV-cache streaming tracks full attention within quantisation
+    error (per-(slot, head) symmetric int8: ~0.5-1% relative)."""
+    mm, params = module_and_params
+    rng = np.random.RandomState(1)
+    num_stream_frames = 4
+    all_frames = jnp.asarray(
+        rng.randn(1, WARMUP + num_stream_frames, H, W, C), dtype=jnp.float32
+    )
+
+    heads = 2
+    caches = [
+        (
+            jnp.zeros((1, 2, WINDOW, C, H * W), jnp.int8),
+            jnp.ones((1, 2, WINDOW, heads), jnp.float32),
+        )
+        for _ in range(2)
+    ]
+    _, caches = mm.apply(
+        params, all_frames[:, :WARMUP], caches, "warmup", None, None, None, 0
+    )
+    assert isinstance(caches[0], tuple) and caches[0][0].dtype == jnp.int8
+
+    mask, pe_idx, update_idx = init_window_state(1)
+    for t in range(num_stream_frames):
+        frame = all_frames[:, WARMUP + t : WARMUP + t + 1]
+        out, caches = mm.apply(
+            params, frame, caches, "stream", mask_to_bias(mask), pe_idx, update_idx
+        )
+        mask, pe_idx, update_idx = update_window_state(mask, pe_idx, update_idx)
+
+        expected = full_attention_reference(mm, params, all_frames[:, : WARMUP + t + 1])
+        got = np.asarray(out[:, 0])
+        denom = np.abs(expected).mean() + 1e-6
+        rel = np.abs(got - expected).mean() / denom
+        assert rel < 0.05, f"frame {t}: mean relative error {rel:.4f} too large"
+        np.testing.assert_allclose(got, expected, rtol=0.5, atol=0.35)
