@@ -38,6 +38,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=int, default=16)
     p.add_argument("--no-depth", action="store_true")
     p.add_argument("--no-tiny-vae", action="store_true")
+    p.add_argument("--kv-cache", choices=["bf16", "int8"], default=None,
+                   help="KV-cache storage (int8: half HBM + bandwidth)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight model on CPU (smoke/demo mode)")
     return p
@@ -69,6 +71,8 @@ def main(argv=None) -> int:
             norm_num_groups=4, motion_num_attention_heads=2,
         )
         kwargs["dtype"] = "float32"
+    if args.kv_cache:
+        kwargs["kv_cache_dtype"] = args.kv_cache
 
     stream = StreamV2VWrapper(
         args.config,

@@ -30,6 +30,7 @@ def main():
     p.add_argument("--steps", type=int, nargs="*", default=[30, 40])
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--out", default="/tmp/jax_trace_step")
+    p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16")
     args = p.parse_args()
 
     import jax
@@ -57,7 +58,8 @@ def main():
             },
         },
     }
-    built = build_pipeline(config, height=H, width=W, use_depth=True, dtype=jnp.bfloat16)
+    built = build_pipeline(config, height=H, width=W, use_depth=True,
+                           dtype=jnp.bfloat16, kv_cache_dtype=args.kv_cache)
     stream = built.stream
     prompt = encode_prompt_for_pipeline(built, "trace")
 
