@@ -39,13 +39,21 @@ from .stream.state_machine import init_window_state, mask_to_bias
 
 
 def _random_params_like(shapes_tree, seed: int = 0, scale: float = 0.02):
-    """Random-normal params matching an eval_shape tree (fast, on device)."""
+    """Random-normal params matching an eval_shape tree.
+
+    Host-side numpy on purpose: per-leaf ``jax.random.normal`` triggers one
+    XLA compile per distinct shape (~170 compiles, ~90 s per build measured);
+    numpy generation + a single device_put-per-leaf has zero compiles.
+    """
     leaves, treedef = jax.tree_util.tree_flatten(shapes_tree)
-    key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, len(leaves))
+    rng = np.random.default_rng(seed)
     out = [
-        (jax.random.normal(k, l.shape, jnp.float32) * scale).astype(l.dtype)
-        for k, l in zip(keys, leaves)
+        jax.device_put(
+            (rng.standard_normal(l.shape, dtype=np.float32) * scale).astype(
+                np.dtype(l.dtype)
+            )
+        )
+        for l in leaves
     ]
     return jax.tree_util.tree_unflatten(treedef, out)
 
@@ -80,6 +88,8 @@ def build_pipeline(
     dtype=jnp.bfloat16,
     seed: int = 0,
     do_add_noise: bool = True,
+    use_lcm_lora: bool = True,
+    lcm_lora_path: Optional[str] = None,
     lora_dict: Optional[Dict[str, float]] = None,
     unet_overrides: Optional[Dict] = None,
     param_dtype=None,
@@ -181,6 +191,17 @@ def build_pipeline(
     all_loras = list(tp.get("lora_list", []) or [])
     if lora_dict:
         all_loras += [{"lora": k, "lora_alpha": v} for k, v in lora_dict.items()]
+    # LCM-LoRA is fused unconditionally by the reference
+    # (/root/reference/live2diff/utils/wrapper.py:421-426,451-452:
+    # ``stream.load_lora("latent-consistency/lcm-lora-sdv1-5"); fuse_lora()``)
+    # — without it, 2-step LCM denoising of a plain SD-1.5 UNet is garbage.
+    if use_lcm_lora:
+        lcm_path = (
+            lcm_lora_path
+            or cfg.get("lcm_lora_path")
+            or "models/loras/lcm-lora-sdv1-5.safetensors"
+        )
+        all_loras.append({"lora": str(lcm_path), "lora_alpha": 1.0})
     for entry in all_loras:
         lpath, alpha = entry.get("lora"), entry.get("lora_alpha", 1.0)
         if lpath and os.path.isfile(lpath):
@@ -270,6 +291,29 @@ def build_pipeline(
             tokenizer = CLIPTokenizer.tiny(model_max_length=77)
             missing.append(f"{base_path}/tokenizer")
 
+        # textual inversion from third_party_dict, as the reference applies it
+        # (/root/reference/live2diff/animatediff/converter/convert.py:64-96:
+        # ``pipeline.load_textual_inversion(path, token)`` per entry)
+        for token, ti_path in (tp.get("text_embedding_dict", {}) or {}).items():
+            if ti_path and os.path.isfile(str(ti_path)):
+                from .convert.textual_inversion import apply_textual_inversion
+
+                tokenizer, text_params = apply_textual_inversion(
+                    tokenizer, text_params, load_state_dict_file(str(ti_path)), token
+                )
+            else:
+                missing.append(str(ti_path))
+        # the injected rows grow the embedding table; rebuild the module with
+        # the new vocab size (the resize_token_embeddings step in the ref flow)
+        n_vocab = int(np.asarray(
+            text_params["params"]["text_model"]["token_embedding"]["embedding"]
+        ).shape[0])
+        if n_vocab != text_encoder.config.vocab_size:
+            text_encoder = CLIPTextModelWithFinalNorm(
+                config=dataclasses.replace(text_encoder.config, vocab_size=n_vocab),
+                dtype=dtype, param_dtype=param_dtype,
+            )
+
     stream = StreamDiffusionDepth(
         unet, unet_params, schedule, scfg, vae_encode, vae_decode, depth_fn,
         vae_params=vae_params, depth_params=depth_params,
@@ -300,11 +344,11 @@ def _merge_into_shapes(shapes_tree, converted: dict, missing: list):
             if got is None:
                 missing.append(f"param:{path}")
                 return expect
-            got = jnp.asarray(got)
+            got = np.asarray(got)  # host-side cast: no per-shape XLA compiles
             if got.shape != expect.shape:
                 missing.append(f"shape-mismatch:{path} {got.shape} vs {expect.shape}")
                 return expect
-            return got.astype(expect.dtype)
+            return jax.device_put(got.astype(np.dtype(expect.dtype)))
         out = {}
         for k, v in expect.items():
             g = got.get(k) if isinstance(got, dict) else None
