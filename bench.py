@@ -139,7 +139,7 @@ def main() -> None:
         t0 = time.time()
         for _ in range(args.warmup_iters):
             states, out = ms(states, frames)
-        jax.block_until_ready(out)
+            jax.block_until_ready(out)
         compile_s = time.time() - t0
 
         # pipelined rounds, same protocol as single-stream serving

@@ -151,22 +151,38 @@ class PipelinedStream:
         n_frames = None  # set by the feeder once the input is exhausted
         next_i = 0
         window = max(self.upload_threads * 2, 4)
+        abort = False  # set when the consumer raises or abandons the generator
 
         def feeder():
             nonlocal n_frames
             i = 0
             for f in frames:
-                in_q.put((i, f))
+                while not abort:
+                    try:
+                        in_q.put((i, f), timeout=0.1)
+                        break
+                    except queue.Full:
+                        pass
+                if abort:
+                    break
                 i += 1
             with cv:
                 n_frames = i
                 cv.notify_all()
             for _ in range(self.upload_threads):
-                in_q.put(None)
+                while not abort:
+                    try:
+                        in_q.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        pass
 
         def uploader():
-            while True:
-                item = in_q.get()
+            while not abort:
+                try:
+                    item = in_q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
                 if item is None:
                     return
                 i, f = item
@@ -174,7 +190,9 @@ class PipelinedStream:
                     # bound the reorder buffer relative to the consumer so
                     # device memory stays flat; the frame the consumer waits
                     # for (i == next_i) is never blocked
-                    cv.wait_for(lambda: i < next_i + window)
+                    cv.wait_for(lambda: abort or i < next_i + window)
+                    if abort:
+                        return
                 try:
                     dev = jax.device_put(f)
                     jax.block_until_ready(dev)
@@ -196,26 +214,36 @@ class PipelinedStream:
         for t in threads:
             t.start()
 
-        while True:
+        try:
+            while True:
+                with cv:
+                    cv.wait_for(
+                        lambda: next_i in ready
+                        or (n_frames is not None and next_i >= n_frames)
+                    )
+                    if n_frames is not None and next_i >= n_frames:
+                        break
+                    dev = ready.pop(next_i)
+                    next_i += 1
+                    cv.notify_all()
+                if isinstance(dev, _UploadError):
+                    raise dev.exc
+                self.state, out = self.stream(self.state, dev)
+                self._in_flight.append(out)
+                if len(self._in_flight) > self.max_in_flight:
+                    yield self._pop_ready()
+            yield from self.drain()
+        finally:
+            # normal exit: threads are already done and join instantly.
+            # error/abandonment: wake everything (feeder blocked on put via
+            # its 0.1 s poll, uploaders on get/cv.wait_for), then join so no
+            # thread or pinned frame buffer outlives the generator.
+            abort = True
             with cv:
-                cv.wait_for(
-                    lambda: next_i in ready
-                    or (n_frames is not None and next_i >= n_frames)
-                )
-                if n_frames is not None and next_i >= n_frames:
-                    break
-                dev = ready.pop(next_i)
-                next_i += 1
                 cv.notify_all()
-            if isinstance(dev, _UploadError):
-                raise dev.exc
-            self.state, out = self.stream(self.state, dev)
-            self._in_flight.append(out)
-            if len(self._in_flight) > self.max_in_flight:
-                yield self._pop_ready()
-        yield from self.drain()
-        for t in threads:
-            t.join()
+            for t in threads:
+                t.join()
+            ready.clear()
 
     # -- stats ---------------------------------------------------------------
 

@@ -41,7 +41,8 @@ class MultiStream:
         self._prompts = None
 
     def init_states(self, seeds=None) -> StreamState:
-        seeds = seeds or range(self.num_sessions)
+        if seeds is None:
+            seeds = range(self.num_sessions)
         states = [self.stream.init_state(s) for s in seeds]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
@@ -70,7 +71,8 @@ class MultiStream:
             )
             return states, np.asarray(out)
 
-        seeds = seeds or range(self.num_sessions)
+        if seeds is None:
+            seeds = range(self.num_sessions)
 
         # donated in-place scatter: peak HBM = S*state + 1 state instead of
         # 2*S*state (the caches are ~3 GB/session at 512x512)

@@ -38,14 +38,14 @@ from .state_machine import init_window_state, mask_to_bias, update_window_state
 class StreamConfig:
     height: int = 512
     width: int = 512
-    warmup_frames: int = 8
     do_add_noise: bool = True
-    use_denoising_batch: bool = True
-    frame_buffer_size: int = 1
-    clip_skip: int = 1
+    # NOTE: stream-batch denoising is always on and cfg is always "none" —
+    # the only mode the reference supports for this pipeline
+    # (pipeline_stream_animation_depth.py restricts cfg_type to "none"); no
+    # flags are exposed for modes the step function would silently ignore.
+    # (clip_skip lives on BuiltPipeline: prompt encoding is outside the step.)
     vae_scale_factor: int = 8
     vae_scaling: float = 0.18215
-    guidance_scale: float = 1.0  # cfg_type "none" (reference restriction)
     cache_dtype: Any = jnp.bfloat16
 
     @property
@@ -120,7 +120,7 @@ class StreamDiffusionDepth:
         mask, pe_idx, update_idx = init_window_state(
             n, self.unet.config.window_size, self.unet.config.sink_size
         )
-        buf_shape = (max(n - 1, 0) * cfg.frame_buffer_size, lh, lw, 4)
+        buf_shape = (max(n - 1, 0), lh, lw, 4)
         return StreamState(
             rng=jax.random.PRNGKey(seed),
             attn_mask=mask,

@@ -166,14 +166,26 @@ def test_conv3x3_packed_matches_lax_interpret():
         )
 
 
-def test_group_norm_kernel_matches_flax_interpret():
+def test_group_norm_kernel_matches_flax_interpret(monkeypatch):
     """Pallas fused GroupNorm(+act) == flax nn.GroupNorm (+act), interpret."""
     import numpy as np
     from flax import linen as nn
     from jax.experimental.pallas import tpu as pltpu
 
     from live2diff_tpu.ops import attention as A
+    from live2diff_tpu.ops import norm
     from live2diff_tpu.ops.norm import group_norm_act
+
+    # the production default gates (LIVE2DIFF_GN_TAGS="none") reject every
+    # site — lift them and count kernel entries so this test cannot silently
+    # compare the XLA fallback against itself
+    monkeypatch.setattr(norm, "_GN_SITE_TAGS", set())
+    kernel_calls = []
+    real_kernel = norm._group_norm_kernel
+    monkeypatch.setattr(
+        norm, "_group_norm_kernel",
+        lambda *a, **k: (kernel_calls.append(1), real_kernel(*a, **k))[1],
+    )
 
     rs = np.random.RandomState(5)
     for (b, t, c, act) in [(2, 64, 320, "silu"), (3, 128, 64, "relu"), (2, 96, 1280, "none")]:
@@ -201,16 +213,28 @@ def test_group_norm_kernel_matches_flax_interpret():
         finally:
             A._BACKEND = old
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=2e-4, rtol=2e-4)
+    assert kernel_calls, "Pallas GroupNorm kernel was never entered"
 
 
-def test_layer_norm_kernel_matches_flax_interpret():
+def test_layer_norm_kernel_matches_flax_interpret(monkeypatch):
     """Pallas fused LayerNorm == flax nn.LayerNorm (interpret + fallback)."""
     import numpy as np
     from flax import linen as nn
     from jax.experimental.pallas import tpu as pltpu
 
     from live2diff_tpu.ops import attention as A
+    from live2diff_tpu.ops import norm
     from live2diff_tpu.ops.norm import layer_norm
+
+    # default gate is LIVE2DIFF_LN_TAGS="vit"; site="" would silently take
+    # the XLA fallback — lift the gate and require the kernel to be entered
+    monkeypatch.setattr(norm, "_LN_SITE_TAGS", set())
+    kernel_calls = []
+    real_kernel = norm._layer_norm_kernel
+    monkeypatch.setattr(
+        norm, "_layer_norm_kernel",
+        lambda *a, **k: (kernel_calls.append(1), real_kernel(*a, **k))[1],
+    )
 
     rs = np.random.RandomState(6)
     for shape in [(2, 200, 320), (1, 577, 768)]:
@@ -233,6 +257,7 @@ def test_layer_norm_kernel_matches_flax_interpret():
         finally:
             A._BACKEND = old
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=2e-4, rtol=2e-4)
+    assert kernel_calls, "Pallas LayerNorm kernel was never entered"
 
 
 def test_conv3x3_custom_vmap_folds_sessions():

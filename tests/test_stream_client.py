@@ -8,11 +8,15 @@ state threading is sequential.
 """
 
 import random
+import threading
 import time
 
 import numpy as np
+import pytest
 
 from live2diff_tpu.stream.client import PipelinedStream
+
+pytestmark = pytest.mark.fast
 
 
 class _FakeJax:
@@ -61,6 +65,53 @@ def test_empty_stream():
     ps = PipelinedStream(_FakeStream(), 0, upload_threads=3)
     ps._jax = _FakeJax()
     assert list(ps.map([])) == []
+
+
+def _no_leaked_threads(before, timeout=5.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        extra = set(threading.enumerate()) - before
+        if not extra:
+            return True
+        time.sleep(0.01)
+    return False
+
+
+def test_upload_failure_joins_threads():
+    """A failed upload raises to the consumer AND tears down the feeder and
+    uploader threads (no daemon threads left blocked on the queue/cv)."""
+
+    class _FailJax:
+        @staticmethod
+        def device_put(x):
+            if int(x[0]) == 5:
+                raise RuntimeError("transport down")
+            return x
+
+        @staticmethod
+        def block_until_ready(x):
+            return x
+
+    before = set(threading.enumerate())
+    ps = PipelinedStream(_FakeStream(), 0, max_in_flight=2, upload_threads=3)
+    ps._jax = _FailJax()
+    frames = [np.full((3,), i) for i in range(200)]
+    with pytest.raises(RuntimeError, match="transport down"):
+        list(ps.map(frames))
+    assert _no_leaked_threads(before), "feeder/uploader threads leaked"
+
+
+def test_abandoned_generator_joins_threads():
+    """Dropping the generator early (GeneratorExit) must not leak threads."""
+    before = set(threading.enumerate())
+    ps = PipelinedStream(_FakeStream(), 0, max_in_flight=2, upload_threads=3)
+    ps._jax = _FakeJax()
+    frames = [np.full((3,), i) for i in range(200)]
+    gen = ps.map(frames)
+    for _ in range(4):
+        next(gen)
+    gen.close()
+    assert _no_leaked_threads(before), "threads leaked after generator close"
 
 
 def test_batched_upload_ordered():
