@@ -1,0 +1,137 @@
+"""Multi-chip *inference* shardings: tp-sharded stream step, dp-sharded sessions.
+
+The reference scales serving only by DataParallel replication
+(/root/reference/live2diff/utils/wrapper.py:152-153). Here the same (dp, tp)
+mesh that trains the motion module also serves it:
+
+* tp — tensor parallel over one stream frame step: attention/MLP weights
+  shard by the ``mesh._TP_RULES`` (wide dim on tp), the temporal KV-caches
+  shard on their channel axis so each chip holds only its heads' cache slab,
+  and GSPMD reduces each block's output projection with one psum over ICI.
+* dp — session parallel: N concurrent streams vmap into a session axis that
+  shards on dp; chips never communicate (sessions are independent), so this
+  is embarrassingly-parallel scaling of ``stream/multi.py``.
+
+Both paths are exercised on a virtual CPU mesh by
+``__graft_entry__.dryrun_multichip`` and ``tests/test_parallel.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.unet import UNet3DConditionModel, UNetConfig
+from .mesh import make_mesh, shard_params
+
+_TINY = dict(
+    block_out_channels=(8, 16, 16, 16), attention_head_dim=2,
+    cross_attention_dim=12, norm_num_groups=4, motion_num_attention_heads=2,
+)
+
+
+def _tiny_stream_setup(latent: int = 8, steps: int = 2):
+    from ..stream.state_machine import init_window_state, mask_to_bias
+
+    cfg = UNetConfig(**_TINY)
+    unet = UNet3DConditionModel(config=cfg, dtype=jnp.float32)
+    caches = cfg.init_caches(latent, latent, steps, dtype=jnp.float32)
+    mask, pe_idx, update_idx = init_window_state(steps)
+    bias = mask_to_bias(mask)
+    sample = jnp.full((steps, 1, latent, latent, 4), 0.1, jnp.float32)
+    t = jnp.asarray([399, 199], jnp.int32)[:steps]
+    text = jnp.zeros((steps, 7, cfg.cross_attention_dim), jnp.float32)
+    depth = jnp.zeros_like(sample)
+    params = unet.init(
+        jax.random.PRNGKey(0), sample, t, text, depth, caches,
+        "stream", bias, pe_idx, update_idx,
+    )
+    return unet, params, (sample, t, text, depth, caches, bias, pe_idx, update_idx)
+
+
+def cache_sharding(mesh: Mesh, caches) -> Tuple:
+    """Shard each ``[steps, 2, window, C, HW]`` cache slab on tp over C.
+
+    The motion to_k/to_v projections are tp-sharded on their out dim, so the
+    K/V a chip computes are exactly the channel slab its cache shard holds —
+    cache reads/writes stay chip-local. Falls back to replication when tp
+    does not divide C (GSPMD requires divisibility).
+    """
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+
+    def spec(x):
+        if x.ndim == 5 and x.shape[3] % tp == 0:
+            return NamedSharding(mesh, P(None, None, None, "tp", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec(x)), caches)
+
+
+def stream_step_tp_dryrun(n_devices: int, latent: int = 8) -> float:
+    """One tp-sharded streaming UNet frame step on an n-device mesh.
+
+    Exercises the full production inference sharding: params placed by
+    ``_TP_RULES``, KV-caches channel-sharded, activations replicated.
+    Returns the output mean (finite-ness asserted by callers).
+    """
+    mesh = make_mesh(n_devices)
+    unet, params, args = _tiny_stream_setup(latent)
+    sample, t, text, depth, caches, bias, pe_idx, update_idx = args
+
+    params = shard_params(params, mesh)
+    caches = cache_sharding(mesh, caches)
+
+    def fn(params, sample, t, text, depth, caches, bias, pe_idx, update_idx):
+        out, new_caches = unet.apply(
+            params, sample, t, text, depth, caches, "stream", bias, pe_idx, update_idx
+        )
+        return out, new_caches
+
+    step = jax.jit(fn, donate_argnums=(5,))
+    with mesh:
+        out, new_caches = step(
+            params, sample, t, text, depth, caches, bias, pe_idx, update_idx
+        )
+        out = jax.block_until_ready(out)
+    # second step through the updated caches proves the cache sharding
+    # round-trips (donated slab in, same-sharded slab out)
+    with mesh:
+        out, _ = step(params, sample, t, text, depth, new_caches, bias, pe_idx, update_idx)
+        out = jax.block_until_ready(out)
+    return float(jnp.mean(out.astype(jnp.float32)))
+
+
+def multi_session_dp_dryrun(n_devices: int, sessions: Optional[int] = None,
+                            latent: int = 8) -> float:
+    """One dp-sharded multi-session frame step (sessions vmapped, dp-split).
+
+    Each session is an independent stream; the vmapped session axis shards
+    on dp so chips run disjoint sessions with zero collectives.
+    """
+    mesh = make_mesh(n_devices, dp=n_devices, tp=1)
+    s = sessions or max(2, n_devices)
+    unet, params, args = _tiny_stream_setup(latent)
+    sample, t, text, depth, caches, bias, pe_idx, update_idx = args
+
+    def one(sample, text, depth, caches, bias, pe_idx, update_idx):
+        out, new_caches = unet.apply(
+            params, sample, t, text, depth, caches, "stream", bias, pe_idx, update_idx
+        )
+        return out, new_caches
+
+    batched = jax.vmap(one)
+    sb = lambda x: jnp.broadcast_to(x[None], (s, *x.shape))  # noqa: E731
+    dp = NamedSharding(mesh, P("dp"))
+    sessions_args = jax.tree_util.tree_map(
+        lambda x: jax.device_put(sb(x), dp),
+        (sample, text, depth, caches, bias, pe_idx, update_idx),
+    )
+    step = jax.jit(batched, donate_argnums=(3,))
+    with mesh:
+        out, new_caches = step(*sessions_args)
+        out = jax.block_until_ready(out)
+    assert out.shape[0] == s
+    return float(jnp.mean(out.astype(jnp.float32)))
