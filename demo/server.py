@@ -39,11 +39,43 @@ log = logging.getLogger("live2diff-tpu.demo")
 
 WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+# pydantic-model_json_schema-shaped payloads, matching the surface the
+# reference frontend consumes (/root/reference/demo/app.py:126-146,
+# vid2vid.py:45-80): settings -> {info.properties, input_params.properties,
+# max_queue_size, page_content}.
 INPUT_PARAMS_SCHEMA = {
-    "prompt": {"type": "str", "default": "a person", "title": "Prompt"},
-    "width": {"type": "int", "default": 512, "hide": True},
-    "height": {"type": "int", "default": 512, "hide": True},
+    "properties": {
+        "prompt": {
+            "type": "string", "title": "Prompt", "field": "textarea",
+            "id": "prompt", "default": "a person",
+        },
+        "seed": {
+            "type": "integer", "title": "Seed", "field": "seed",
+            "id": "seed", "default": 42, "hide": True,
+        },
+        "width": {
+            "type": "integer", "title": "Width", "id": "width",
+            "default": 512, "hide": True, "disabled": True,
+        },
+        "height": {
+            "type": "integer", "title": "Height", "id": "height",
+            "default": 512, "hide": True, "disabled": True,
+        },
+    }
 }
+
+INFO_SCHEMA = {
+    "properties": {
+        "name": {"default": "live2diff-tpu"},
+        "input_mode": {"default": "image"},
+    }
+}
+
+PAGE_CONTENT = (
+    '<h1 class="title">live2diff-tpu</h1>'
+    '<h2 class="subtitle">Live stream translation via uni-directional '
+    "video diffusion &mdash; TPU-native rebuild</h2>"
+)
 
 
 class ServerFullException(Exception):
@@ -60,11 +92,14 @@ class DemoPipeline:
 
     def __init__(self, config_path: str, height: int, width: int,
                  synthetic: bool = False, tiny: bool = False):
+        import threading
+
         self.height, self.width = height, width
         self.synthetic = synthetic
         self.warmup_buffer = []
         self.current_prompt: Optional[str] = None
         self.stream = None
+        self._lock = threading.Lock()
         if not synthetic:
             from live2diff_tpu.wrapper import StreamV2VWrapper
 
@@ -82,19 +117,126 @@ class DemoPipeline:
             )
 
     def predict(self, params: dict, frame: np.ndarray) -> Optional[np.ndarray]:
-        prompt = params.get("prompt", "")
-        if self.synthetic:  # loopback mode for serving-layer tests
-            return 255 - frame
-        if prompt != self.current_prompt:
-            self.current_prompt = prompt
-            self.warmup_buffer = []
-        if len(self.warmup_buffer) < self.WARMUP_FRAMES:
-            self.warmup_buffer.append(frame)
-            if len(self.warmup_buffer) == self.WARMUP_FRAMES:
-                self.stream.prepare(prompt, np.stack(self.warmup_buffer))
-            return None
-        out = self.stream(frame)
-        return out  # uint8 HWC
+        with self._lock:  # executor threads must not interleave on one stream
+            prompt = params.get("prompt", "")
+            if self.synthetic:  # loopback mode for serving-layer tests
+                return 255 - frame
+            if prompt != self.current_prompt:
+                self.current_prompt = prompt
+                self.warmup_buffer = []
+            if len(self.warmup_buffer) < self.WARMUP_FRAMES:
+                self.warmup_buffer.append(frame)
+                if len(self.warmup_buffer) == self.WARMUP_FRAMES:
+                    self.stream.prepare(prompt, np.stack(self.warmup_buffer))
+                return None
+            out = self.stream(frame)
+            return out  # uint8 HWC
+
+
+class BatchedDemoPipeline:
+    """S concurrent users -> ONE vmapped dispatch per round.
+
+    The reference demo serialises users through a single pipeline
+    (/root/reference/demo/app.py:97-123); here each user owns a MultiStream
+    slot and the dispatcher steps every warm slot in one batched program, so
+    sessions amortise the weight reads (stream/multi.py). Users join/leave
+    dynamically: admission warms a free slot via prepare_session, disconnect
+    frees it.
+
+    Called only from the single dispatcher executor thread — no locking.
+    """
+
+    WARMUP_FRAMES = 8
+    batched = True
+
+    def __init__(self, config_path: str, height: int, width: int, sessions: int,
+                 synthetic: bool = False, tiny: bool = False,
+                 synthetic_latency: float = 0.0,
+                 kv_cache_dtype: Optional[str] = None):
+        self.height, self.width = height, width
+        self.sessions = sessions
+        self.synthetic = synthetic
+        self.synthetic_latency = synthetic_latency
+        self._slots: Dict[str, int] = {}
+        self._free = list(range(sessions))
+        self._warm: Dict[str, list] = {}
+        self._prompt: Dict[str, str] = {}
+        self._last_frame: Dict[int, np.ndarray] = {}
+        self._states = None
+        self.multi = None
+        if not synthetic:
+            from live2diff_tpu.stream.multi import MultiStream
+            from live2diff_tpu.wrapper import StreamV2VWrapper
+
+            kwargs = {}
+            if tiny:
+                kwargs.update(
+                    unet_overrides=dict(
+                        block_out_channels=(8, 16, 16, 16), attention_head_dim=2,
+                        norm_num_groups=4, motion_num_attention_heads=2,
+                    ),
+                    dtype="float32", use_depth=False,
+                )
+            if kv_cache_dtype:
+                kwargs["kv_cache_dtype"] = kv_cache_dtype
+            self.wrapper = StreamV2VWrapper(
+                config_path, height=height, width=width, output_type="np", **kwargs
+            )
+            self.multi = MultiStream(self.wrapper.stream, sessions)
+
+    def release(self, user_id: str) -> None:
+        slot = self._slots.pop(user_id, None)
+        self._warm.pop(user_id, None)
+        self._prompt.pop(user_id, None)
+        if slot is not None:
+            self._free.append(slot)
+            self._last_frame.pop(slot, None)
+
+    def predict_batch(self, batch: Dict[str, tuple]) -> Dict[str, Optional[np.ndarray]]:
+        """{uid: (params, frame)} -> {uid: output frame or None (warming)}."""
+        if self.synthetic:
+            if self.synthetic_latency:
+                time.sleep(self.synthetic_latency)  # one model call per ROUND
+            return {uid: 255 - frame for uid, (_, frame) in batch.items()}
+
+        outs: Dict[str, Optional[np.ndarray]] = {uid: None for uid in batch}
+        fresh: Dict[str, np.ndarray] = {}
+        for uid, (params, frame) in batch.items():
+            slot = self._slots.get(uid)
+            if slot is None:
+                if not self._free:
+                    continue  # admission should have 503'd already
+                slot = self._free.pop(0)
+                self._slots[uid] = slot
+            prompt = params.get("prompt", "")
+            if prompt != self._prompt.get(uid):
+                self._prompt[uid] = prompt
+                self._warm[uid] = []
+            buf = self._warm.setdefault(uid, [])
+            if len(buf) < self.WARMUP_FRAMES:
+                buf.append(frame)
+                if len(buf) == self.WARMUP_FRAMES:
+                    embeds = self.wrapper.encode_prompt(prompt)
+                    self._states, _ = self.multi.prepare_session(
+                        self._states, slot, np.stack(buf), embeds,
+                        seed=self.wrapper.seed,
+                    )
+                continue
+            fresh[uid] = frame
+
+        if not fresh or self._states is None:
+            return outs
+        frames = np.zeros((self.sessions, self.height, self.width, 3), np.uint8)
+        for slot, f in self._last_frame.items():
+            frames[slot] = f  # warm-but-idle slots step on their last frame
+        for uid, f in fresh.items():
+            frames[self._slots[uid]] = f
+            self._last_frame[self._slots[uid]] = f
+        self._states, out = self.multi(self._states, frames)
+        out = np.asarray(out)
+        for uid in fresh:
+            outs[uid] = out[self._slots[uid]]
+        return outs
 
 
 # ---------------------------------------------------------------------------
@@ -257,12 +399,52 @@ def array_to_jpeg(arr: np.ndarray, quality: int = 80) -> bytes:
 
 class App:
     def __init__(self, pipeline: DemoPipeline, max_queue_size: int = 4,
-                 timeout: float = 0.0, debug: bool = False):
+                 max_users: int = 4, timeout: float = 0.0, debug: bool = False):
         self.pipeline = pipeline
-        self.manager = ConnectionManager(max_queue_size=max_queue_size)
+        self.manager = ConnectionManager(max_queue_size=max_queue_size,
+                                         max_users=max_users)
         self.outputs: Dict[str, asyncio.Queue] = {}
         self.timeout = timeout
         self.debug = debug
+        # batched mode: frames land in `pending` (newest-wins per user) and
+        # one dispatcher task drains them through predict_batch
+        self.batched = getattr(pipeline, "batched", False)
+        self.pending: Dict[str, tuple] = {}
+        self._pending_event = asyncio.Event()
+        self._dispatcher: Optional[asyncio.Task] = None
+
+    def _ensure_dispatcher(self) -> None:
+        if self.batched and (self._dispatcher is None or self._dispatcher.done()):
+            self._dispatcher = asyncio.get_running_loop().create_task(
+                self.dispatch_loop()
+            )
+
+    async def dispatch_loop(self) -> None:
+        """One batched model call per round; fan outputs back per user."""
+        loop = asyncio.get_running_loop()
+        while True:
+            await self._pending_event.wait()
+            batch, self.pending = self.pending, {}
+            self._pending_event.clear()
+            t0 = time.perf_counter()
+            outs = await loop.run_in_executor(
+                None, self.pipeline.predict_batch, batch
+            )
+            if self.debug:
+                log.info("batch of %d: %.1f ms", len(batch),
+                         (time.perf_counter() - t0) * 1000)
+            for uid, out in outs.items():
+                if out is None:
+                    continue
+                oq = self.outputs.get(uid)
+                if oq is None:
+                    continue
+                if oq.full():
+                    try:
+                        oq.get_nowait()
+                    except asyncio.QueueEmpty:
+                        pass
+                await oq.put(out)
 
     async def handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         try:
@@ -278,15 +460,23 @@ class App:
                 await self.handle_mjpeg(path.split("/")[-1], writer)
                 return
             if path == "/api/settings":
+                schema = json.loads(json.dumps(INPUT_PARAMS_SCHEMA))
+                for key in ("width", "height"):
+                    schema["properties"][key]["default"] = getattr(
+                        self.pipeline, key, schema["properties"][key]["default"]
+                    )
                 writer.write(http_response(
-                    "200 OK", json.dumps({"input_params": INPUT_PARAMS_SCHEMA,
-                                          "max_queue_size": self.manager.max_queue_size,
-                                          "page_content": ""}).encode()))
+                    "200 OK", json.dumps({
+                        "info": INFO_SCHEMA,
+                        "input_params": schema,
+                        "max_queue_size": self.manager.max_users,
+                        "page_content": PAGE_CONTENT,
+                    }).encode()))
             elif path == "/api/queue":
                 writer.write(http_response(
                     "200 OK", json.dumps({"queue_size": self.manager.queue_size()}).encode()))
             elif path == "/" or path == "/index.html":
-                writer.write(http_response("200 OK", FRONTEND.encode(), "text/html"))
+                writer.write(http_response("200 OK", load_frontend(), "text/html"))
             else:
                 writer.write(http_response("404 Not Found", b'{"error":"not found"}'))
             await writer.drain()
@@ -303,6 +493,7 @@ class App:
 
     async def handle_ws(self, user_id: str, reader, writer, headers):
         queue = self.manager.connect(user_id)
+        self._ensure_dispatcher()
         self.outputs.setdefault(user_id, asyncio.Queue(maxsize=2))
         if not await ws_handshake(writer, headers):
             self.manager.disconnect(user_id)
@@ -335,14 +526,21 @@ class App:
                     continue
                 if opcode == 0x2:  # binary: JPEG frame
                     frame = jpeg_to_array(payload)
-                    await self.manager.put(user_id, (dict(params), frame))
-                    await self.process_one(user_id)
+                    if self.batched:
+                        self.pending[user_id] = (dict(params), frame)
+                        self._pending_event.set()
+                    else:
+                        await self.manager.put(user_id, (dict(params), frame))
+                        await self.process_one(user_id)
                     await ws_send_json(writer, {"status": "send_frame"})
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
         finally:
             log.info("ws disconnect user=%s", user_id)
             self.manager.disconnect(user_id)
+            self.pending.pop(user_id, None)
+            if self.batched:
+                self.pipeline.release(user_id)
 
     async def process_one(self, user_id: str) -> None:
         q = self.manager.queues.get(user_id)
@@ -385,48 +583,32 @@ class App:
             pass
 
 
-FRONTEND = """<!doctype html>
-<html><head><meta charset="utf-8"><title>live2diff-tpu</title>
-<style>body{font-family:sans-serif;background:#111;color:#eee;display:flex;
-flex-direction:column;align-items:center;gap:12px;padding:20px}
-.row{display:flex;gap:12px}video,img{width:384px;height:384px;background:#000;
-border-radius:8px;object-fit:cover}input{width:500px;padding:6px}
-button{padding:8px 16px}</style></head><body>
-<h2>live2diff-tpu — real-time video-to-video</h2>
-<input id="prompt" value="a person"/>
-<div class="row"><video id="cam" autoplay muted playsinline></video>
-<img id="out"/></div>
-<button id="start">Start</button>
-<script>
-const uid = crypto.randomUUID();
-let ws, sending = false;
-const cam = document.getElementById('cam'), out = document.getElementById('out');
-const canvas = document.createElement('canvas'); canvas.width = canvas.height = 512;
-document.getElementById('start').onclick = async () => {
-  const stream = await navigator.mediaDevices.getUserMedia({video: true});
-  cam.srcObject = stream;
-  ws = new WebSocket(`ws://${location.host}/api/ws/${uid}`);
-  ws.onmessage = async (ev) => {
-    const msg = JSON.parse(ev.data);
-    if (msg.status === 'send_frame' && !sending) {
-      sending = true;
-      ws.send(JSON.stringify({prompt: document.getElementById('prompt').value}));
-      const ctx = canvas.getContext('2d');
-      ctx.drawImage(cam, 0, 0, 512, 512);
-      canvas.toBlob(async b => { ws.send(await b.arrayBuffer()); sending = false; },
-                    'image/jpeg', 0.85);
-    }
-  };
-  out.src = `/api/stream/${uid}`;
-};
-</script></body></html>
-"""
+_STATIC_DIR = __import__("os").path.join(__import__("os").path.dirname(__file__), "static")
+
+
+def load_frontend() -> bytes:
+    """Static single-file app (demo/static/index.html)."""
+    import os
+
+    path = os.path.join(_STATIC_DIR, "index.html")
+    with open(path, "rb") as f:
+        return f.read()
+
 
 
 async def amain(args) -> None:
-    pipeline = DemoPipeline(args.config, args.height, args.width,
-                            synthetic=args.synthetic, tiny=args.tiny)
+    if args.sessions > 1:
+        pipeline = BatchedDemoPipeline(
+            args.config, args.height, args.width, args.sessions,
+            synthetic=args.synthetic, tiny=args.tiny,
+            synthetic_latency=args.synthetic_latency,
+            kv_cache_dtype=args.kv_cache,
+        )
+    else:
+        pipeline = DemoPipeline(args.config, args.height, args.width,
+                                synthetic=args.synthetic, tiny=args.tiny)
     app = App(pipeline, max_queue_size=args.max_queue_size,
+              max_users=args.sessions if args.sessions > 1 else 4,
               timeout=args.timeout, debug=args.debug)
     server = await asyncio.start_server(app.handle, args.host, args.port)
     log.info("serving on http://%s:%d", args.host, args.port)
@@ -442,6 +624,11 @@ def main() -> None:
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--max-queue-size", type=int, default=4)
+    p.add_argument("--sessions", type=int, default=1,
+                   help=">1 serves users through one batched MultiStream")
+    p.add_argument("--kv-cache", choices=["bf16", "int8"], default=None)
+    p.add_argument("--synthetic-latency", type=float, default=0.0,
+                   help="per-ROUND model latency in synthetic batched mode")
     p.add_argument("--timeout", type=float, default=0.0)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--synthetic", action="store_true",

@@ -39,6 +39,13 @@ class MultiStream:
             donate_argnums=(1,),
         )
         self._prompts = None
+        self._write_slot = jax.jit(
+            lambda stacked, st, i: jax.tree_util.tree_map(
+                lambda a, b: jax.lax.dynamic_update_index_in_dim(a, b, i, 0),
+                stacked, st,
+            ),
+            donate_argnums=(0, 1),
+        )
 
     def init_states(self, seeds=None) -> StreamState:
         if seeds is None:
@@ -103,6 +110,48 @@ class MultiStream:
             states = write(states, st, i)
             per_out.append(np.asarray(out))
         return states, np.stack(per_out)
+
+    # ------------------------------------------------------------------
+    # incremental per-slot admission (dynamic serving: users join/leave)
+    # ------------------------------------------------------------------
+
+    def alloc_states(self) -> StreamState:
+        """Zeroed stacked states; fill slots with :meth:`prepare_session`."""
+        shapes = jax.eval_shape(self.stream.init_state)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros((self.num_sessions, *s.shape), s.dtype), shapes
+        )
+
+    def set_prompt(self, index: int, prompt_embeds: jnp.ndarray) -> None:
+        """Update one session's prompt embedding ([77, 768])."""
+        n = self.stream.num_steps
+        if prompt_embeds.ndim == 2:
+            prompt_embeds = prompt_embeds[None]
+        row = jnp.broadcast_to(prompt_embeds, (n, *prompt_embeds.shape[1:]))
+        if self._prompts is None:
+            self._prompts = jnp.zeros((self.num_sessions, *row.shape), row.dtype)
+        self._prompts = jax.lax.dynamic_update_index_in_dim(
+            self._prompts, row.astype(self._prompts.dtype), index, 0
+        )
+
+    def prepare_session(self, states: StreamState, index: int,
+                        warmup_frames: np.ndarray, prompt_embeds: jnp.ndarray,
+                        seed: int = 0) -> Tuple[StreamState, np.ndarray]:
+        """Warm one slot through the single-stream program and scatter it in.
+
+        states may be None (allocates the stacked tree). Peak HBM is
+        S*state + 1 transient state, same as the sequential prepare().
+        """
+        self.set_prompt(index, prompt_embeds)
+        if states is None:
+            states = self.alloc_states()
+        st = self.stream.init_state(seed)
+        st, out = self.stream._jit_prepare(
+            self.stream.params, st, jnp.asarray(warmup_frames),
+            self._prompts[index],
+        )
+        states = self._write_slot(states, st, index)
+        return states, np.asarray(out)
 
     def __call__(self, states: StreamState, frames: np.ndarray):
         """frames: [S, H, W, 3] -> (states, [S, H, W, 3] outputs on device)."""

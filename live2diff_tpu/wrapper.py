@@ -118,15 +118,19 @@ class StreamV2VWrapper:
 
     # ------------------------------------------------------------------
 
+    def encode_prompt(self, prompt: str):
+        """Style-template-expanded prompt -> [77, 768] embedding."""
+        text = self.built.prompt_template.replace("{}", prompt) if (
+            "{}" in self.built.prompt_template
+        ) else f"{self.built.prompt_template} {prompt}"
+        return encode_prompt_for_pipeline(self.built, text)
+
     def prepare(self, prompt: str, warmup_frames: np.ndarray) -> np.ndarray:
         """warmup_frames: [8, H, W, 3] uint8/float or list of images."""
         frames = np.stack([
             preprocess_image(f, self.height, self.width) for f in warmup_frames
         ])
-        text = self.built.prompt_template.replace("{}", prompt) if (
-            "{}" in self.built.prompt_template
-        ) else f"{self.built.prompt_template} {prompt}"
-        embeds = encode_prompt_for_pipeline(self.built, text)
+        embeds = self.encode_prompt(prompt)
         self._state, out = self.stream.prepare(frames, embeds, seed=self.seed)
         return postprocess_image(out, self.output_type)
 

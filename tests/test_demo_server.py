@@ -23,7 +23,42 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
 
-from server import App, DemoPipeline  # noqa: E402
+from server import App, BatchedDemoPipeline, DemoPipeline  # noqa: E402
+
+
+def _start_server(app, port):
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    async def run():
+        srv = await asyncio.start_server(app.handle, "127.0.0.1", port)
+        started.set()
+        async with srv:
+            await srv.serve_forever()
+
+    t = threading.Thread(target=lambda: loop.run_until_complete(run()), daemon=True)
+    t.start()
+    assert started.wait(5)
+
+
+def _free_port():
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        return probe.getsockname()[1]
+
+
+def _http_get(port, path):
+    c = socket.create_connection(("127.0.0.1", port), timeout=5)
+    c.sendall(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+    buf = b""
+    while True:
+        chunk = c.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    c.close()
+    head, _, body = buf.partition(b"\r\n\r\n")
+    return head, body
 
 
 @pytest.fixture()
@@ -147,3 +182,112 @@ def test_ws_mjpeg_roundtrip(server_port):
     out = np.asarray(Image.open(io.BytesIO(frames_out[0])))
     # synthetic pipeline inverts: green 180 -> ~75
     assert out[:, :, 1].mean() < 100
+
+
+def test_settings_schema_and_frontend(server_port):
+    """Settings payload must carry the reference frontend's contract:
+    input_params.properties with field metadata, info.properties,
+    max_queue_size, page_content (/root/reference/demo/app.py:126-146)."""
+    head, body = _http_get(server_port, "/api/settings")
+    assert b"200" in head.split(b"\r\n")[0]
+    settings = json.loads(body)
+    props = settings["input_params"]["properties"]
+    assert props["prompt"]["field"] == "textarea"
+    assert props["prompt"]["id"] == "prompt"
+    assert props["width"]["hide"] is True
+    assert settings["info"]["properties"]["input_mode"]["default"] == "image"
+    assert settings["max_queue_size"] >= 1
+    assert "live2diff" in settings["page_content"]
+
+    head, body = _http_get(server_port, "/")
+    assert b"200" in head.split(b"\r\n")[0]
+    page = body.decode()
+    # static app: renders the form from /api/settings, supports screen share
+    assert "/api/settings" in page
+    assert "getDisplayMedia" in page
+    assert "getUserMedia" in page
+    assert "/api/queue" in page
+
+
+def _pump_user(port, uid, duration, counts):
+    """WS frame pump + MJPEG reader for one user; counts[uid] = outputs."""
+    counts[uid] = 0
+
+    def read_mjpeg():
+        c = socket.create_connection(("127.0.0.1", port), timeout=10)
+        c.sendall(f"GET /api/stream/{uid} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+        c.settimeout(0.5)
+        deadline = time.time() + duration + 1.0
+        buf = b""
+        while time.time() < deadline:
+            try:
+                chunk = c.recv(65536)
+            except socket.timeout:
+                continue
+            if not chunk:
+                break
+            buf += chunk
+            while True:
+                a, b = buf.find(b"\xff\xd8"), buf.find(b"\xff\xd9")
+                if a == -1 or b == -1:
+                    break
+                counts[uid] += 1
+                buf = buf[b + 2:]
+        c.close()
+
+    reader = threading.Thread(target=read_mjpeg, daemon=True)
+    reader.start()
+
+    img = np.full((32, 32, 3), 128, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+
+    s = _WSClient(port, uid)
+    deadline = time.time() + duration
+    while time.time() < deadline:
+        op, data = s.recv()
+        if json.loads(data).get("status") == "send_frame":
+            s.send(json.dumps({"prompt": "x"}).encode(), 0x1)
+            s.send(jpeg, 0x2)
+    s.close()
+    reader.join(timeout=3)
+
+
+def test_batched_two_users_beat_single_aggregate():
+    """VERDICT round-1 item 7: with the MultiStream-backed batched server,
+    2 concurrent users must sustain >1.5x the single-user aggregate.
+
+    The synthetic batched pipeline charges its latency once per ROUND (the
+    batching contract: S sessions share one model dispatch), so aggregate
+    throughput must scale with users instead of serialising like the
+    single-pipeline path (/root/reference/demo/app.py:97-123)."""
+    latency, duration = 0.05, 2.5
+
+    def run_case(users):
+        port = _free_port()
+        pipeline = BatchedDemoPipeline(
+            "unused", 64, 64, sessions=2, synthetic=True,
+            synthetic_latency=latency,
+        )
+        app = App(pipeline, max_users=2)
+        _start_server(app, port)
+        counts = {}
+        threads = [
+            threading.Thread(target=_pump_user,
+                             args=(port, f"user{i}", duration, counts),
+                             daemon=True)
+            for i in range(users)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=duration + 5)
+        return sum(counts.values())
+
+    single = run_case(1)
+    double = run_case(2)
+    assert single > 10, f"single-user baseline too low: {single}"
+    assert double > 1.5 * single, (
+        f"2-user aggregate {double} not >1.5x single {single}"
+    )

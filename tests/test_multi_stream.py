@@ -66,3 +66,29 @@ def test_batched_sessions_match_individual(pipe):
             outs_batched[1][s], np.asarray(out), rtol=2e-4, atol=2e-4,
             err_msg=f"session {s} batched != individual",
         )
+
+
+def test_incremental_admission_matches_bulk_prepare(pipe):
+    """prepare_session (dynamic user admission) == bulk prepare()."""
+    rng = np.random.RandomState(1)
+    S = 2
+    warmups = rng.rand(S, 8, H, W, 3).astype(np.float32) * 2 - 1
+    prompts = jnp.asarray(rng.randn(S, 7, 12), jnp.float32)
+    frame = rng.rand(S, H, W, 3).astype(np.float32) * 2 - 1
+
+    bulk = MultiStream(pipe, S)
+    states_b, _ = bulk.prepare(warmups, prompts, seeds=[3, 4])
+    states_b, out_b = bulk(states_b, frame)
+
+    inc = MultiStream(pipe, S)
+    states_i = None
+    # admit sessions one at a time, out of order, like server slot admission
+    for slot, seed in ((1, 4), (0, 3)):
+        states_i, _ = inc.prepare_session(
+            states_i, slot, warmups[slot], prompts[slot], seed=seed
+        )
+    states_i, out_i = inc(states_i, frame)
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_i), rtol=2e-4, atol=2e-4,
+        err_msg="incremental admission diverged from bulk prepare",
+    )
