@@ -184,7 +184,7 @@ def main() -> None:
     t0 = time.time()
     for _ in range(args.warmup_iters):
         state, out = stream(state, frame)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
     compile_s = time.time() - t0
 
     if args.sync:

@@ -46,10 +46,13 @@ _LN_KERNEL = os.environ.get("LIVE2DIFF_LN_KERNEL", "1") != "0"
 _LN_SITES = os.environ.get("LIVE2DIFF_LN_SITES", "")
 _LN_SITE_SET = {int(s) for s in _LN_SITES.split(",") if s.strip()} if _LN_SITES else None
 # Which call sites use the Pallas LN kernel. Default: the DPT ViT tower only.
-# The UNet sites ("spatial", "temporal") hard-fault the TPU inside the fused
-# warmup program (worker crash; fine standalone at identical shapes — a
-# layout/fusion interaction still under investigation), so they are opt-in
-# debug settings: LIVE2DIFF_LN_TAGS="vit,temporal" etc. "all" removes the gate.
+# The UNet sites ("spatial", "temporal") are gated off for PERFORMANCE, not
+# correctness: traced full-step A/Bs show the custom-call breaks XLA's
+# conv-adjacent fusions and loses ~1 ms net (GN=off+LN=all 53.7 ms vs 52.7
+# with LN=vit only at the time of measurement). The earlier TPU hard-fault at
+# these sites was root-caused to the grid's out-of-bounds tail block when
+# rows % block != 0 and fixed by padding rows to an exact block multiple
+# (see _layer_norm_kernel); LIVE2DIFF_LN_TAGS="all" runs clean post-fix.
 _LN_TAGS = os.environ.get("LIVE2DIFF_LN_TAGS", "vit")
 _LN_SITE_TAGS = {t.strip() for t in _LN_TAGS.split(",") if t.strip()}
 if "all" in _LN_SITE_TAGS:
