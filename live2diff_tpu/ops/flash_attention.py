@@ -73,6 +73,110 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
+def _flash_kernel_dmajor(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                         *, scale, kv_steps):
+    """D-major variant: operands are ``[D, S]`` tiles (head_dim on sublanes).
+
+    The UNet's head_dim is 40/80 — as the minor (lane) dim it pads to 128
+    lanes, so every q/k/v/out tile carries 1.6-3.2x phantom bytes through
+    HBM and VMEM and the MXU chews zero lanes. With D on the *sublane* axis
+    (40 and 80 are both 8-aligned) the tiles are dense. Softmax state is
+    kept transposed too: logits are computed as ``k^T q -> [bk, bq]`` so the
+    running max/sum reduce over sublanes and broadcast over lanes.
+    """
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [D, bq]
+    k = k_ref[0, 0]  # [D, bk]
+    s = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bk, bq]
+
+    m_prev = m_ref[...]  # [8, bq] (all rows equal)
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=0, keepdims=True)  # [1, bq]
+    m_next = jnp.maximum(m_prev, m_curr)  # sublane-broadcast
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:1])  # [bk, bq]
+    l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    v = v_ref[0, 0]  # [D, bk]
+    pv = jax.lax.dot_general(
+        v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [D, bq]
+    acc_ref[...] = acc_ref[...] * alpha[:1] + pv
+
+    @pl.when(ki == kv_steps - 1)
+    def _store():
+        l = l_ref[...][:1]  # [1, bq]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_self_attention_dmajor(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """Unmasked SDPA, ``[B, H, S, D]`` in/out, D-major tiles internally."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+    kv_steps = sk // block_k
+
+    qt, kt, vt = (jnp.swapaxes(x, 2, 3) for x in (q, k, v))  # [B, H, D, S]
+    grid = (b, h, sq // block_q, kv_steps)
+    kernel = functools.partial(_flash_kernel_dmajor, scale=scale, kv_steps=kv_steps)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, d, block_q), lambda b, h, qi, ki: (b, h, 0, qi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, d, block_k), lambda b, h, qi, ki: (b, h, 0, ki),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, d, block_k), lambda b, h, qi, ki: (b, h, 0, ki),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, d, block_q), lambda b, h, qi, ki: (b, h, 0, qi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),  # running max (rows equal)
+            pltpu.VMEM((8, block_q), jnp.float32),  # running sum
+            pltpu.VMEM((d, block_q), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(qt, kt, vt)
+    return jnp.swapaxes(out, 2, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def flash_self_attention(
     q: jnp.ndarray,

@@ -82,6 +82,35 @@ def test_flash_kernel_matches_dense_interpret():
     )
 
 
+def test_flash_dmajor_matches_dense_interpret():
+    """D-major flash kernel (head_dim on sublanes) == dense attention."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops.attention import _dense_attention
+    from live2diff_tpu.ops.flash_attention import flash_self_attention_dmajor
+
+    rs = np.random.RandomState(1)
+    b, h, s, d = 2, 3, 1024, 40
+    q = jnp.asarray(rs.randn(b, h, s, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, h, s, d).astype(np.float32))
+    scale = d ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_self_attention_dmajor(
+            q, k, v, scale=scale, block_q=256, block_k=512
+        )
+
+    ref = _dense_attention(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        None, scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.swapaxes(ref, 1, 2)), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_stream_window_kernel_matches_xla_interpret():
     """Pallas stream-window kernel == XLA einsum fallback (interpret mode)."""
     import numpy as np

@@ -117,6 +117,63 @@ def bench_gn():
               f"{t2*1e3:7.3f} ms | maxerr {err:.4f}")
 
 
+def bench_attn():
+    """Spatial flash attention layouts at the flagship UNet shapes.
+
+    [B,H,S,D] with D=40/80 minor pads every tile to 128 lanes; the D-major
+    variant puts D on sublanes (8-aligned, dense). Useful-FLOPs TF/s shown —
+    multiply by 128/D for the padded-ops rate the MXU actually executes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from live2diff_tpu.ops.flash_attention import (
+        flash_self_attention,
+        flash_self_attention_dmajor,
+    )
+
+    key = jax.random.PRNGKey(0)
+    # (B, H, S, D): 64x64-latent attn (5 calls/frame) and 32x32 (steps=2)
+    for (b, h, s, d) in [(2, 8, 4096, 40), (2, 8, 1024, 80)]:
+        q, k, v = (
+            jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+            for kk in jax.random.split(key, 3)
+        )
+        scale = d**-0.5
+
+        def xla_ref(q, k, v):
+            lg = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(lg, axis=-1).astype(v.dtype)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        ref = np.asarray(jax.jit(xla_ref)(q, k, v), np.float32)
+        gf = 2 * 2 * b * h * s * s * d / 1e9  # QK + PV useful FLOPs
+
+        rows = [("xla-dense", jax.jit(xla_ref))]
+        for bq, bk in [(512, 1024), (256, 2048), (512, min(4096, s))]:
+            rows.append((
+                f"flash q{bq}k{bk}",
+                lambda q, k, v, bq=bq, bk=bk: flash_self_attention(
+                    q, k, v, scale=scale, block_q=bq, block_k=bk),
+            ))
+            rows.append((
+                f"dmajor q{bq}k{bk}",
+                lambda q, k, v, bq=bq, bk=bk: flash_self_attention_dmajor(
+                    q, k, v, scale=scale, block_q=bq, block_k=bk),
+            ))
+        for name, fn in rows:
+            try:
+                out = np.asarray(fn(q, k, v), np.float32)
+                err = np.abs(out - ref).max()
+                t = timeit(fn, q, k, v)
+            except Exception as e:  # noqa: BLE001 — report and keep sweeping
+                print(f"attn [{b},{h},{s},{d}] {name:>14}: FAILED {type(e).__name__}: {e}")
+                continue
+            print(f"attn [{b},{h},{s},{d}] {name:>14}: {t*1e3:7.3f} ms "
+                  f"({gf/t/1e3:6.1f} TF/s useful) maxerr {err:.4f}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "conv"
-    {"conv": bench_conv, "gn": bench_gn}[which]()
+    {"conv": bench_conv, "gn": bench_gn, "attn": bench_attn}[which]()
