@@ -275,10 +275,16 @@ def dot_product_attention(
         and q.shape[-3] % 512 == 0
         and k.shape[-3] % 1024 == 0
     ):
-        from .flash_attention import flash_self_attention
+        from .flash_attention import flash_self_attention_dmajor
 
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))  # [B, H, S, D]
-        out = flash_self_attention(qt, kt, vt, scale=scale)
+        # D-major tiles + single KV pass: measured 0.995 ms vs 1.130 for the
+        # S-major q512/k1024 original at [2,8,4096,40] (tools/microbench.py
+        # attn) — ~137 TF/s at the padded-depth MXU roofline, so further
+        # layout work can't win much; see flash_attention.py docstring.
+        out = flash_self_attention_dmajor(
+            qt, kt, vt, scale=scale, block_k=min(k.shape[-3], 4096)
+        )
         return jnp.swapaxes(out, 1, 2)
 
     batch = 1

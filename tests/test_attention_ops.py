@@ -9,6 +9,9 @@ from live2diff_tpu.ops.attention import (
     _dense_attention,
     dot_product_attention,
 )
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_blockwise_matches_dense_no_bias():

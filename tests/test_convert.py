@@ -9,7 +9,6 @@ reproduce the Flax init tree leaf-for-leaf.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from live2diff_tpu.convert.ldm import (
     convert_ldm_unet_keys,
@@ -21,6 +20,10 @@ from live2diff_tpu.convert.torch_to_flax import (
     unet_torch_to_flax,
     vae_torch_to_flax,
 )
+
+import pytest
+
+pytestmark = pytest.mark.fast
 from live2diff_tpu.models.text_encoder import CLIPTextConfig, CLIPTextModelWithFinalNorm
 from live2diff_tpu.models.unet import UNet3DConditionModel, UNetConfig
 from live2diff_tpu.models.vae import AutoencoderKL, VAEConfig

@@ -19,6 +19,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))

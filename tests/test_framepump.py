@@ -8,9 +8,12 @@ import pytest
 
 from live2diff_tpu.serve import framepump
 
-pytestmark = pytest.mark.skipif(
-    not framepump.available(), reason="native toolchain/libjpeg unavailable"
-)
+pytestmark = [
+    pytest.mark.fast,
+    pytest.mark.skipif(
+        not framepump.available(), reason="native toolchain/libjpeg unavailable"
+    ),
+]
 
 
 def test_jpeg_roundtrip():

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from live2diff_tpu.models.midas import DPTConfig, DPTDepthModel
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_dpt_tiny_forward():

@@ -3,11 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from live2diff_tpu.models.unet import UNet3DConditionModel, UNetConfig
 from live2diff_tpu.models.vae import AutoencoderKL, TinyAutoencoder, VAEConfig
 from live2diff_tpu.stream.state_machine import init_window_state, mask_to_bias
+import pytest
+
+pytestmark = pytest.mark.slow
 
 TINY = UNetConfig(
     block_out_channels=(8, 16, 16, 16),

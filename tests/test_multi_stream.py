@@ -1,45 +1,20 @@
 """Multi-session batched serving must match per-session streaming exactly."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from live2diff_tpu.models.unet import UNet3DConditionModel, UNetConfig
-from live2diff_tpu.models.vae import TinyAutoencoder
-from live2diff_tpu.schedule import LCMSchedule
 from live2diff_tpu.stream.multi import MultiStream
-from live2diff_tpu.stream.pipeline import StreamConfig, StreamDiffusionDepth
-from live2diff_tpu.stream.state_machine import init_window_state, mask_to_bias
 
 H = W = 64
 
 
-@pytest.fixture(scope="module")
-def pipe():
-    ucfg = UNetConfig(
-        block_out_channels=(8, 16, 16, 16), attention_head_dim=2,
-        cross_attention_dim=12, norm_num_groups=4, motion_num_attention_heads=2,
-    )
-    unet = UNet3DConditionModel(config=ucfg, dtype=jnp.float32)
-    sched = LCMSchedule.create(50, t_index_list=[30, 40])
-    scfg = StreamConfig(height=H, width=W, vae_scaling=1.0, cache_dtype=jnp.float32)
-    n, lh, lw = sched.num_steps, scfg.latent_height, scfg.latent_width
-    caches = ucfg.init_caches(lh, lw, n, dtype=jnp.float32)
-    mask, pe, upd = init_window_state(n)
-    unet_params = unet.init(
-        jax.random.PRNGKey(0), jnp.zeros((n, 1, lh, lw, 4)), jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n, 7, 12)), jnp.zeros((n, 1, lh, lw, 4)),
-        caches, "stream", mask_to_bias(mask), pe, upd,
-    )
-    vae = TinyAutoencoder(hidden=8)
-    vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
-    return StreamDiffusionDepth(
-        unet, unet_params, sched, scfg,
-        lambda p, x: vae.apply(p, x, method=vae.encode),
-        lambda p, z: vae.apply(p, z, method=vae.decode),
-        vae_params=vae_params,
-    )
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="session")
+def pipe(tiny_pipeline):
+    return tiny_pipeline
 
 
 def test_batched_sessions_match_individual(pipe):

@@ -3,10 +3,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from live2diff_tpu.parallel.mesh import make_mesh, shard_params
 from live2diff_tpu.parallel.train import train_step_dryrun
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_mesh_shapes():

@@ -1,50 +1,15 @@
 """End-to-end stream runtime tests on a tiny random-weight pipeline (CPU)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from live2diff_tpu.models.unet import UNet3DConditionModel, UNetConfig
-from live2diff_tpu.models.vae import TinyAutoencoder
-from live2diff_tpu.schedule import LCMSchedule
-from live2diff_tpu.stream.pipeline import StreamConfig, StreamDiffusionDepth
-from live2diff_tpu.stream.state_machine import init_window_state, mask_to_bias
-
 H = W = 64  # latent 8x8 (minimum: motion modules exist down to res/8)
 
 
-@pytest.fixture(scope="module")
-def tiny_pipeline():
-    ucfg = UNetConfig(
-        block_out_channels=(8, 16, 16, 16), attention_head_dim=2,
-        cross_attention_dim=12, norm_num_groups=4, motion_num_attention_heads=2,
-    )
-    unet = UNet3DConditionModel(config=ucfg, dtype=jnp.float32)
-    sched = LCMSchedule.create(50, t_index_list=[30, 40])
-    scfg = StreamConfig(height=H, width=W, vae_scaling=1.0, cache_dtype=jnp.float32)
+pytestmark = pytest.mark.slow
 
-    n = sched.num_steps
-    lh, lw = scfg.latent_height, scfg.latent_width
-    caches = ucfg.init_caches(lh, lw, n, dtype=jnp.float32)
-    mask, pe_idx, update_idx = init_window_state(n)
-    unet_params = unet.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((n, 1, lh, lw, 4)), jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n, 7, 12)), jnp.zeros((n, 1, lh, lw, 4)),
-        caches, "stream", mask_to_bias(mask), pe_idx, update_idx,
-    )
-
-    vae = TinyAutoencoder(hidden=8)
-    vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
-    vae_encode = lambda p, x: vae.apply(p, x, method=vae.encode)  # noqa: E731
-    vae_decode = lambda p, z: vae.apply(p, z, method=vae.decode)  # noqa: E731
-
-    pipe = StreamDiffusionDepth(
-        unet, unet_params, sched, scfg, vae_encode, vae_decode, depth_fn=None,
-        vae_params=vae_params,
-    )
-    return pipe
+# tiny_pipeline is the session-scoped fixture from conftest.py
 
 
 def test_prepare_and_stream(tiny_pipeline):

@@ -1,7 +1,6 @@
 """Golden tests for the LCM schedule math (vs hand-computed diffusers-0.25.0 semantics)."""
 
 import numpy as np
-import pytest
 
 from live2diff_tpu.schedule import (
     LCMSchedule,
@@ -10,6 +9,9 @@ from live2diff_tpu.schedule import (
     make_betas,
     resolve_t_index_list,
 )
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_linear_betas_match_reference_config():

@@ -6,6 +6,7 @@ golden model, plus property tests.
 """
 
 import numpy as np
+import pytest
 
 from live2diff_tpu.stream.state_machine import (
     WARMUP_FRAMES,
@@ -14,6 +15,8 @@ from live2diff_tpu.stream.state_machine import (
     mask_to_bias,
     update_window_state,
 )
+
+pytestmark = pytest.mark.fast
 
 
 # --- golden model: literal (loopy) reimplementation of the reference logic ---

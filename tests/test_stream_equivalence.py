@@ -12,7 +12,6 @@ with a constant-cost streaming window.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from live2diff_tpu.models.motion import TemporalTransformer3DModel
 from live2diff_tpu.stream.state_machine import (
@@ -20,6 +19,10 @@ from live2diff_tpu.stream.state_machine import (
     mask_to_bias,
     update_window_state,
 )
+
+import pytest
+
+pytestmark = pytest.mark.slow
 
 WARMUP = 8
 WINDOW = 16

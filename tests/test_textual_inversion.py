@@ -5,6 +5,9 @@ from live2diff_tpu.convert.textual_inversion import (
     extract_ti_embeddings,
 )
 from live2diff_tpu.utils.tokenizer import CLIPTokenizer
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_extract_layouts():

@@ -15,6 +15,9 @@ from live2diff_tpu.utils.image import (
 from live2diff_tpu.utils.io import read_video_frames, write_video
 from live2diff_tpu.utils.timing import EmaTimer
 from live2diff_tpu.utils.tokenizer import CLIPTokenizer
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_preprocess_resize_and_range():
