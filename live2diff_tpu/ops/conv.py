@@ -146,7 +146,7 @@ def _conv3x3_impl(
         has_skip=skip is not None,
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, manual halo DMA
+        pl.BlockSpec(memory_space=pl.ANY),  # padded input, manual halo DMA
         pl.BlockSpec((3, 3, cin_p, cout), lambda b, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),

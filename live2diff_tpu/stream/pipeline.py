@@ -149,26 +149,56 @@ class StreamDiffusionDepth:
         noise = jax.random.normal(rng, latents.shape, dtype=latents.dtype)
         return self.alpha[0] * latents + self.beta[0] * noise
 
-    def _encode_depth(self, params, frames_rgb: jnp.ndarray) -> jnp.ndarray:
-        """[F, H, W, 3] -> depth-conditioned latents [F, h, w, 4].
+    def _depth_image(self, params, frames_rgb: jnp.ndarray) -> jnp.ndarray:
+        """[F, H, W, 3] -> 3-channel depth image in [-1, 1].
 
         MiDaS at 384x384 -> min-max normalise over the batch -> 3-channel
-        [-1,1] image -> VAE encode (reference encode_depth,
+        [-1,1] image (reference encode_depth,
         pipeline_stream_animation_depth.py:544-571).
         """
-        if self.depth_fn is None:
-            return jnp.zeros(
-                (frames_rgb.shape[0], self.cfg.latent_height, self.cfg.latent_width, 4),
-                frames_rgb.dtype,
-            )
         f, H, W, _ = frames_rgb.shape
         depth_in = jax.image.resize(frames_rgb, (f, 384, 384, 3), "bilinear")
         depth = self.depth_fn(params["depth"], depth_in)  # [F, 384, 384]
         dmin, dmax = depth.min(), depth.max()
         depth = (depth - dmin) / (dmax - dmin + 1e-6)
         depth3 = jnp.repeat(depth[..., None], 3, axis=-1) * 2.0 - 1.0
-        depth3 = jax.image.resize(depth3, (f, H, W, 3), "bilinear")
+        return jax.image.resize(depth3, (f, H, W, 3), "bilinear")
+
+    def _encode_depth(self, params, frames_rgb: jnp.ndarray) -> jnp.ndarray:
+        """[F, H, W, 3] -> depth-conditioned latents [F, h, w, 4]."""
+        if self.depth_fn is None:
+            return jnp.zeros(
+                (frames_rgb.shape[0], self.cfg.latent_height, self.cfg.latent_width, 4),
+                frames_rgb.dtype,
+            )
+        depth3 = self._depth_image(params, frames_rgb)
         return self.vae_encode(params["vae"], depth3) * self.cfg.vae_scaling
+
+    def _encode_frame_and_depth(self, params, rng, frames_rgb: jnp.ndarray):
+        """One BATCHED VAE encode for the frame and its depth image.
+
+        Batch-1 convs at full resolution are the worst MXU shape on TPU;
+        encoding ``concat([frames, depth3])`` in a single call halves the
+        per-call weight-load overhead vs the reference's two separate encodes
+        (pipeline_stream_animation_depth.py:517-571). Returns
+        ``(x_t noised at t0, depth latents)``.
+        """
+        if self.depth_fn is None:
+            return (
+                self._encode_image(params, rng, frames_rgb),
+                jnp.zeros(
+                    (frames_rgb.shape[0], self.cfg.latent_height,
+                     self.cfg.latent_width, 4),
+                    frames_rgb.dtype,
+                ),
+            )
+        f = frames_rgb.shape[0]
+        depth3 = self._depth_image(params, frames_rgb)
+        both = jnp.concatenate([frames_rgb, depth3], axis=0)
+        lat = self.vae_encode(params["vae"], both) * self.cfg.vae_scaling
+        latents, depth_lat = lat[:f], lat[f:]
+        noise = jax.random.normal(rng, latents.shape, dtype=latents.dtype)
+        return self.alpha[0] * latents + self.beta[0] * noise, depth_lat
 
     def _decode_latents(self, params, x0: jnp.ndarray) -> jnp.ndarray:
         img = self.vae_decode(params["vae"], x0 / self.cfg.vae_scaling)
@@ -217,8 +247,9 @@ class StreamDiffusionDepth:
             frame_rgb = frame_rgb.astype(jnp.float32) / 127.5 - 1.0
         rng, r_enc, r_buf = jax.random.split(state.rng, 3)
 
-        x_t_new = self._encode_image(params, r_enc, frame_rgb[None])  # [1, h, w, 4]
-        depth_new = self._encode_depth(params, frame_rgb[None])
+        x_t_new, depth_new = self._encode_frame_and_depth(
+            params, r_enc, frame_rgb[None]
+        )  # [1, h, w, 4] each
 
         if n > 1:
             x_t = jnp.concatenate([x_t_new, state.x_t_buffer], axis=0)
@@ -272,8 +303,7 @@ class StreamDiffusionDepth:
         unrolls at trace time (n is 2..4).
         """
         rng, r_enc = jax.random.split(state.rng)
-        x_t = self._encode_image(params, r_enc, warmup_rgb)  # [F, h, w, 4]
-        depth = self._encode_depth(params, warmup_rgb)
+        x_t, depth = self._encode_frame_and_depth(params, r_enc, warmup_rgb)
 
         caches = state.kv_caches
         sample = x_t[None].astype(self.unet.dtype)  # [1, F, h, w, 4]

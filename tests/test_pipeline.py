@@ -51,6 +51,37 @@ def test_stream_step_is_deterministic_given_state(tiny_pipeline):
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0)
 
 
+def test_batched_encode_matches_separate(tiny_pipeline):
+    """The fused frame+depth VAE encode must equal the two-call encode.
+
+    The step batches ``concat([frame, depth3])`` through ONE vae_encode
+    (batch-1 full-res convs are the worst MXU shape); this pins that fusion
+    to the reference's separate encode_image/encode_depth semantics
+    (pipeline_stream_animation_depth.py:517-571)."""
+    import jax
+
+    pipe = tiny_pipeline
+    rs = np.random.RandomState(11)
+    frames = jnp.asarray(rs.rand(2, H, W, 3).astype(np.float32) * 2 - 1)
+    rng = jax.random.PRNGKey(5)
+
+    # stub depth: luminance of the resized input (shape contract of MiDaS)
+    def depth_fn(params, x384):
+        return x384.mean(axis=-1)
+
+    old_fn, old_p = pipe.depth_fn, pipe.params["depth"]
+    pipe.depth_fn = depth_fn
+    try:
+        x_t, depth_lat = pipe._encode_frame_and_depth(pipe.params, rng, frames)
+        x_t_ref = pipe._encode_image(pipe.params, rng, frames)
+        depth_ref = pipe._encode_depth(pipe.params, frames)
+    finally:
+        pipe.depth_fn, pipe.params["depth"] = old_fn, old_p
+
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_t_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_lat), np.asarray(depth_ref), atol=1e-5)
+
+
 def test_pipelined_client_matches_sync(tiny_pipeline):
     """PipelinedStream.map must produce the same outputs as the sync loop,
     in order, for both float32 and uint8 inputs."""
