@@ -94,6 +94,7 @@ def build_pipeline(
     unet_overrides: Optional[Dict] = None,
     param_dtype=None,
     kv_cache_dtype=None,
+    output_uint8: bool = False,
 ) -> BuiltPipeline:
     """Build the full streaming pipeline from a reference-style YAML config."""
     cfg: ConfigDict = load_config(config) if isinstance(config, str) else ConfigDict.wrap(config)
@@ -131,6 +132,7 @@ def build_pipeline(
         vae_scaling=1.0 if use_tiny_vae else 0.18215,
         do_add_noise=do_add_noise,
         cache_dtype=cache_dtype,
+        output_uint8=output_uint8,
     )
     lh, lw = scfg.latent_height, scfg.latent_width
 

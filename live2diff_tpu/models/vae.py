@@ -260,6 +260,49 @@ class FusedConv3x3(nn.Module):
         return out.astype(self.dtype)
 
 
+class FusedConv3x3S2(nn.Module):
+    """3x3 stride-2 SAME conv (TAESD encoder downsample), kernel-dispatched.
+
+    Param pytree matches ``nn.Conv(use_bias=False)`` so checkpoint ingest is
+    unchanged. Keeping the downsample inside the Pallas kernel family avoids
+    the XLA<->kernel layout boundary (a relayout copy of the full-res
+    activation) and XLA's slow small-batch 64-channel conv schedule.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features),
+            self.param_dtype,
+        ).astype(self.dtype)
+
+        from ..ops.attention import _on_tpu
+
+        if (
+            _on_tpu()
+            and self.features % 32 == 0
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and x.shape[1] * x.shape[2] >= 128 * 128
+        ):
+            from ..ops.conv import conv3x3_s2_fused
+
+            return conv3x3_s2_fused(
+                x, kernel, jnp.zeros((self.features,), self.dtype)
+            )
+
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(self.dtype)
+
+
 class TinyBlock(nn.Module):
     """conv-relu-conv-relu-conv + skip, fused relu (TAESD block)."""
 
@@ -292,8 +335,7 @@ class TinyEncoder(nn.Module):
         layer += 1
         for stage, n in enumerate(self.num_blocks):
             if stage > 0:
-                x = nn.Conv(self.hidden, (3, 3), strides=(2, 2), padding=1,
-                            use_bias=False, name=f"layers_{layer}", **kw)(x)
+                x = FusedConv3x3S2(self.hidden, name=f"layers_{layer}", **kw)(x)
                 layer += 1
             for _ in range(n):
                 x = TinyBlock(self.hidden, name=f"layers_{layer}", **kw)(x)

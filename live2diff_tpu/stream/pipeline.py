@@ -47,6 +47,10 @@ class StreamConfig:
     vae_scale_factor: int = 8
     vae_scaling: float = 0.18215
     cache_dtype: Any = jnp.bfloat16
+    # emit frames as uint8 [0,255] on-device: the serving/bench path JPEG-
+    # encodes or displays uint8 anyway, and the device->host download is 4x
+    # smaller (3 MB -> 0.75 MB per 512x512 frame — material over a tunnel)
+    output_uint8: bool = False
 
     @property
     def latent_height(self) -> int:
@@ -202,7 +206,10 @@ class StreamDiffusionDepth:
 
     def _decode_latents(self, params, x0: jnp.ndarray) -> jnp.ndarray:
         img = self.vae_decode(params["vae"], x0 / self.cfg.vae_scaling)
-        return jnp.clip(img, -1.0, 1.0)
+        img = jnp.clip(img, -1.0, 1.0)
+        if self.cfg.output_uint8:
+            img = jnp.round((img + 1.0) * 127.5).astype(jnp.uint8)
+        return img
 
     # ------------------------------------------------------------------
     # LCM consistency step

@@ -48,17 +48,27 @@ def preprocess_image(
 def postprocess_image(
     image: np.ndarray, output_type: str = "pil"
 ) -> Union[List[Image.Image], np.ndarray]:
-    """[-1,1] float [B?, H, W, 3] -> requested output type."""
-    arr = np.asarray(image, dtype=np.float32)
+    """[-1,1] float OR device-side uint8 [B?, H, W, 3] -> requested type.
+
+    uint8 input (StreamConfig.output_uint8 pipelines) is already [0,255]:
+    no host-side clip/scale pass is needed.
+    """
+    arr = np.asarray(image)
     if output_type == "latent":
-        return arr
+        return arr if arr.dtype == np.uint8 else arr.astype(np.float32)
     squeeze = arr.ndim == 3
     if squeeze:
         arr = arr[None]
-    arr = (np.clip(arr, -1.0, 1.0) + 1.0) / 2.0
-    if output_type == "pt":
-        return arr[0] if squeeze else arr
-    uint8 = (arr * 255).round().astype(np.uint8)
+    if arr.dtype == np.uint8:
+        uint8 = arr
+        if output_type == "pt":
+            pt = uint8.astype(np.float32) / 255.0
+            return pt[0] if squeeze else pt
+    else:
+        arrf = (np.clip(arr.astype(np.float32), -1.0, 1.0) + 1.0) / 2.0
+        if output_type == "pt":
+            return arrf[0] if squeeze else arrf
+        uint8 = (arrf * 255).round().astype(np.uint8)
     if output_type == "np":
         return uint8[0] if squeeze else uint8
     pils = [Image.fromarray(frame) for frame in uint8]
@@ -66,6 +76,9 @@ def postprocess_image(
 
 
 def frames_to_uint8(frames: Sequence[np.ndarray]) -> np.ndarray:
-    """List of [-1,1] frames -> [N, H, W, 3] uint8 video array."""
-    out = np.stack([np.asarray(f, dtype=np.float32) for f in frames])
+    """List of [-1,1] (or device uint8) frames -> [N, H, W, 3] uint8 video."""
+    arrs = [np.asarray(f) for f in frames]
+    if all(a.dtype == np.uint8 for a in arrs):
+        return np.stack(arrs)
+    out = np.stack([a.astype(np.float32) for a in arrs])
     return ((np.clip(out, -1, 1) + 1) * 127.5).round().astype(np.uint8)

@@ -72,6 +72,7 @@ class StreamV2VWrapper:
         dtype="bfloat16",
         unet_overrides: Optional[Dict] = None,
         kv_cache_dtype: Optional[str] = None,
+        output_uint8: Optional[bool] = None,
     ):
         import jax.numpy as jnp
 
@@ -95,6 +96,10 @@ class StreamV2VWrapper:
             lora_dict=lora_dict,
             unet_overrides=unet_overrides,
             kv_cache_dtype=kv_cache_dtype,
+            # uint8 frames leave the device for uint8-consuming output types:
+            # same rounding as the host path, 4x smaller download
+            output_uint8=(output_type in ("np", "pil")
+                          if output_uint8 is None else output_uint8),
         )
         if self.built.missing_artifacts:
             print(

@@ -198,6 +198,57 @@ def test_conv3x3_packed_matches_lax_interpret():
         )
 
 
+def test_conv3x3_single_block_matches_lax_interpret():
+    """nblocks==1 halo path (whole image in one row band), interpret mode."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops.conv import conv3x3_fused
+
+    rs = np.random.RandomState(6)
+    b, h, w, c = 1, 8, 48, 32
+    x = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+    kern = jnp.asarray(rs.randn(3, 3, c, c).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rs.randn(c).astype(np.float32))
+
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    ref = jnp.maximum(ref, 0.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = conv3x3_fused(x, kern, bias, relu=True, block_h=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_conv3x3_s2_matches_lax_interpret():
+    """Stride-2 fused conv == lax.conv stride 2 pad 1, interpret mode."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops.conv import conv3x3_s2_fused
+
+    rs = np.random.RandomState(5)
+    # (multi-block, single-block) x (64ch TAESD shape, non-pow2 channels)
+    for (b, h, w, cin, cout, bh) in [(2, 32, 64, 64, 64, 8), (1, 16, 128, 32, 32, 8)]:
+        x = jnp.asarray(rs.randn(b, h, w, cin).astype(np.float32))
+        kern = jnp.asarray(rs.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rs.randn(cout).astype(np.float32))
+
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+        with pltpu.force_tpu_interpret_mode():
+            out = conv3x3_s2_fused(x, kern, bias, block_h=bh)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4,
+            err_msg=f"shape {(b, h, w, cin, cout)}",
+        )
+
+
 def test_group_norm_kernel_matches_flax_interpret(monkeypatch):
     """Pallas fused GroupNorm(+act) == flax nn.GroupNorm (+act), interpret."""
     import numpy as np

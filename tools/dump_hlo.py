@@ -34,9 +34,26 @@ def main():
     from live2diff_tpu.wrapper import enable_compilation_cache
 
     enable_compilation_cache()
-    config = {"num_inference_steps": 50, "t_index_list": args.steps}
+    # identical config to trace_step.py / bench.py so the persistent cache hits
+    config = {
+        "num_inference_steps": 50,
+        "t_index_list": list(args.steps),
+        "noise_scheduler_kwargs": {
+            "num_train_timesteps": 1000, "beta_start": 0.00085,
+            "beta_end": 0.012, "beta_schedule": "linear",
+        },
+        "unet_additional_kwargs": {
+            "cond_mapping": True,
+            "motion_module_kwargs": {
+                "num_attention_heads": 8,
+                "temporal_position_encoding_max_len": 24,
+                "attention_kwargs": {"window_size": 16, "sink_size": 8},
+            },
+        },
+    }
     built = build_pipeline(config, height=args.height, width=args.width,
-                           use_depth=True, kv_cache_dtype=args.kv_cache)
+                           use_depth=True, dtype=jnp.bfloat16,
+                           kv_cache_dtype=args.kv_cache)
     stream = built.stream
     prompt = encode_prompt_for_pipeline(built, "hlo dump")
     stream.set_prompt(prompt)
