@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -58,9 +59,28 @@ def main() -> None:
                    help="KV-cache storage: int8 (default) halves cache HBM + read "
                         "bandwidth (stream-attention 4.5->2.3 ms/frame); bf16 for "
                         "bit-exact cache parity")
+    p.add_argument("--spatial-qk", choices=["bf16", "int8"], default="int8",
+                   help="spatial self-attention QK precision: int8 (default) runs "
+                        "the flash kernel's QK matmul at 2x MXU rate (~1%% logit "
+                        "noise, K mean-centred; see ops/flash_attention.py)")
     p.add_argument("--steps", type=int, nargs="*", default=[30, 40],
                    help="t_index_list (2 entries = reference speed-table setting)")
     args = p.parse_args()
+
+    if not args.tiny and args.spatial_qk == "int8":
+        os.environ["LIVE2DIFF_FLASH"] = "int8"
+
+    t_start = time.time()
+
+    def stage(msg: str) -> None:
+        print(f"# [{time.time() - t_start:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    if os.environ.get("LIVE2DIFF_BENCH_DEBUG"):
+        import logging
+
+        logging.basicConfig(level=logging.INFO)
+        for name in ("jax._src.compiler", "jax._src.compilation_cache"):
+            logging.getLogger(name).setLevel(logging.DEBUG)
 
     import jax
 
@@ -74,6 +94,7 @@ def main() -> None:
 
     if not args.tiny:
         enable_compilation_cache()  # engines/xla_cache: skip ~minutes of recompiles
+    stage("imports + cache ready")
 
     if args.tiny:
         height = width = 64
@@ -118,7 +139,9 @@ def main() -> None:
         )
 
     stream = built.stream
+    stage("pipeline built (params on device)")
     prompt = encode_prompt_for_pipeline(built, "masterpiece, best quality, a benchmark")
+    stage("prompt encoded")
 
     rng = np.random.RandomState(0)
     baseline_fps = _BASELINES.get((width, height), BASELINE_FPS)
@@ -138,6 +161,7 @@ def main() -> None:
         t0 = time.time()
         states, _ = ms.prepare(warmup, prompts)
         prepare_s = time.time() - t0
+        stage(f"prepare done ({prepare_s:.1f}s)")
 
         frames = (rng.rand(s, height, width, 3) * 255).astype(np.uint8)
         t0 = time.time()
@@ -182,6 +206,7 @@ def main() -> None:
     t0 = time.time()
     state, _ = stream.prepare(warmup_frames, prompt)
     prepare_s = time.time() - t0
+    stage(f"prepare done ({prepare_s:.1f}s)")
 
     # compile + warm the per-frame step (uint8 path, as served)
     frame = (rng.rand(height, width, 3) * 255).astype(np.uint8)
@@ -190,6 +215,7 @@ def main() -> None:
         state, out = stream(state, frame)
         jax.block_until_ready(out)
     compile_s = time.time() - t0
+    stage(f"frame step warm ({compile_s:.1f}s)")
 
     if args.sync:
         # strictly synchronous per-frame protocol (reference-style loop)

@@ -277,16 +277,26 @@ def dot_product_attention(
         and q.shape[-3] % 512 == 0
         and k.shape[-3] % 1024 == 0
     ):
-        from .flash_attention import flash_self_attention, flash_self_attention_dmajor
+        from .flash_attention import (
+            flash_self_attention,
+            flash_self_attention_dmajor,
+            flash_self_attention_int8,
+        )
 
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))  # [B, H, S, D]
         # D-major tiles + single KV pass: measured 0.995 ms vs 1.130 for the
-        # S-major q512/k1024 original at [2,8,4096,40] (tools/microbench.py
-        # attn) — ~137 TF/s at the padded-depth MXU roofline, so further
-        # layout work can't win much; see flash_attention.py docstring.
-        # LIVE2DIFF_FLASH=smajor falls back to the S-major kernel (A/B knob).
-        if os.environ.get("LIVE2DIFF_FLASH", "dmajor") == "smajor":
+        # S-major q512/k1024 original at [2,8,4096,40] — ~137 TF/s at the
+        # padded-depth MXU roofline, so bf16 layout work can't win more; the
+        # int8-QK variant (2x MXU rate on the padded matmul) is the next
+        # rung. LIVE2DIFF_FLASH=dmajor|smajor|int8 selects (A/B knob);
+        # bench.py serves int8.
+        variant = os.environ.get("LIVE2DIFF_FLASH", "dmajor")
+        if variant == "smajor":
             out = flash_self_attention(qt, kt, vt, scale=scale)
+        elif variant == "int8":
+            out = flash_self_attention_int8(
+                qt, kt, vt, scale=scale, block_k=min(k.shape[-3], 4096)
+            )
         else:
             out = flash_self_attention_dmajor(
                 qt, kt, vt, scale=scale, block_k=min(k.shape[-3], 4096)

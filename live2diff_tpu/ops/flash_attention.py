@@ -177,6 +177,128 @@ def flash_self_attention_dmajor(
     return jnp.swapaxes(out, 2, 3)
 
 
+def _flash_kernel_dmajor_int8(q_ref, k_ref, v_ref, s_ref, o_ref, m_ref, l_ref,
+                              acc_ref, *, kv_steps):
+    """D-major flash attention with int8 QK (int8 MXU runs 2x bf16 rate).
+
+    q/k arrive quantised per (batch, head) with symmetric scales folded into
+    ``s_ref`` (= sq * sk * softmax_scale, SMEM scalar). K is mean-centred
+    along the key axis before quantisation: softmax is shift-invariant per
+    query row, so the dropped ``q . k_mean`` term is EXACT, and centring
+    removes the dominant outlier mass from the int8 range. V stays bf16 —
+    probs quantisation is where accuracy actually goes."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [D, bq] int8
+    k = k_ref[0, 0]  # [D, bk] int8
+    s = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * s_ref[pl.program_id(0), pl.program_id(1)]  # [bk, bq]
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=0, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:1])
+    l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    v = v_ref[0, 0]  # [D, bk] bf16
+    pv = jax.lax.dot_general(
+        v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * alpha[:1] + pv
+
+    @pl.when(ki == kv_steps - 1)
+    def _store():
+        l = l_ref[...][:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_self_attention_int8(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """Unmasked SDPA with int8-quantised QK, ``[B, H, S, D]`` in/out.
+
+    Per-(batch, head) symmetric scales; K mean-centred along S (exact under
+    softmax). fp32 softmax, bf16 PV. ~1% logit noise — comparable to the
+    bf16 rounding the rest of the pipeline already carries."""
+    b, h, sq_len, d = q.shape
+    sk_len = k.shape[2]
+    block_q = min(block_q, sq_len)
+    block_k = min(block_k, sk_len)
+    assert sq_len % block_q == 0 and sk_len % block_k == 0
+    kv_steps = sk_len // block_k
+
+    qt, kt, vt = (jnp.swapaxes(x, 2, 3) for x in (q, k, v))  # [B, H, D, S]
+    kf = kt.astype(jnp.float32)
+    kc = kf - kf.mean(axis=3, keepdims=True)
+    qf = qt.astype(jnp.float32)
+    sq = jnp.max(jnp.abs(qf), axis=(2, 3)) / 127.0  # [B, H]
+    sk = jnp.max(jnp.abs(kc), axis=(2, 3)) / 127.0
+    sq = jnp.maximum(sq, 1e-12)
+    sk = jnp.maximum(sk, 1e-12)
+    q8 = jnp.round(qf / sq[:, :, None, None]).astype(jnp.int8)
+    k8 = jnp.clip(jnp.round(kc / sk[:, :, None, None]), -127, 127).astype(jnp.int8)
+    scales = (sq * sk * scale).astype(jnp.float32)  # [B, H]
+
+    grid = (b, h, sq_len // block_q, kv_steps)
+    kernel = functools.partial(_flash_kernel_dmajor_int8, kv_steps=kv_steps)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, d, block_q), lambda b, h, qi, ki: (b, h, 0, qi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, d, block_k), lambda b, h, qi, ki: (b, h, 0, ki),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, d, block_k), lambda b, h, qi, ki: (b, h, 0, ki),
+                memory_space=pltpu.VMEM,
+            ),
+            # whole [B, H] scale table in SMEM (TPU lowering rejects sub-array
+            # SMEM blocks); kernel indexes it by program_id
+            pl.BlockSpec((b, h), lambda b_, h_, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, d, block_q), lambda b, h, qi, ki: (b, h, 0, qi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((d, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q8, k8, vt, scales)
+    return jnp.swapaxes(out, 2, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def flash_self_attention(
     q: jnp.ndarray,

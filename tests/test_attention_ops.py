@@ -85,6 +85,42 @@ def test_flash_kernel_matches_dense_interpret():
     )
 
 
+def test_flash_int8_matches_dense_interpret():
+    """int8-QK flash == dense attention within quantisation tolerance.
+
+    Per-(batch, head) symmetric int8 with key mean-centring; the dropped
+    ``q . k_mean`` softmax-shift term is exact, so the only error source is
+    the ~1/254 relative rounding of q and centred k."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from live2diff_tpu.ops.attention import _dense_attention
+    from live2diff_tpu.ops.flash_attention import flash_self_attention_int8
+
+    rs = np.random.RandomState(2)
+    b, h, s, d = 2, 3, 1024, 40
+    q = jnp.asarray(rs.randn(b, h, s, d).astype(np.float32))
+    # non-zero K mean: exercises the centring (softmax-invariance) path
+    k = jnp.asarray((rs.randn(b, h, s, d) + 0.7).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, h, s, d).astype(np.float32))
+    scale = d ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_self_attention_int8(
+            q, k, v, scale=scale, block_q=256, block_k=512
+        )
+
+    ref = _dense_attention(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        None, scale,
+    )
+    err = np.abs(np.asarray(out) - np.asarray(jnp.swapaxes(ref, 1, 2)))
+    # int8 logit noise perturbs softmax weights slightly; outputs are convex
+    # combinations of v so absolute error stays well under |v| scale
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.005, err.mean()
+
+
 def test_flash_dmajor_matches_dense_interpret():
     """D-major flash kernel (head_dim on sublanes) == dense attention."""
     import numpy as np

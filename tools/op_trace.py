@@ -86,7 +86,8 @@ def main():
 
     elif mode.startswith("flash"):
         from live2diff_tpu.ops.flash_attention import (
-            flash_self_attention, flash_self_attention_dmajor)
+            flash_self_attention, flash_self_attention_dmajor,
+            flash_self_attention_int8)
 
         for (bsz, heads, s, d) in [(2, 8, 4096, 40), (2, 8, 1024, 80)]:
             q = jax.random.normal(key, (bsz, heads, s, d), jnp.bfloat16)
@@ -94,6 +95,8 @@ def main():
             v = jax.random.normal(key, (bsz, heads, s, d), jnp.bfloat16)
             for name, f in (
                 ("dmajor", jax.jit(lambda q, k, v: flash_self_attention_dmajor(
+                    q, k, v, scale=d**-0.5, block_k=min(s, 4096)))),
+                ("int8", jax.jit(lambda q, k, v: flash_self_attention_int8(
                     q, k, v, scale=d**-0.5, block_k=min(s, 4096)))),
                 ("smajor", jax.jit(lambda q, k, v: flash_self_attention(
                     q, k, v, scale=d**-0.5))),

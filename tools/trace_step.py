@@ -31,7 +31,11 @@ def main():
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--out", default="/tmp/jax_trace_step")
     p.add_argument("--kv-cache", choices=["bf16", "int8"], default="bf16")
+    p.add_argument("--spatial-qk", choices=["bf16", "int8"], default="bf16")
     args = p.parse_args()
+
+    if args.spatial_qk == "int8":
+        os.environ["LIVE2DIFF_FLASH"] = "int8"
 
     import jax
     import jax.numpy as jnp
