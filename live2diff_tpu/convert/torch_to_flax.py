@@ -33,7 +33,13 @@ KeyMapResult = Optional[Tuple[FlaxPath, str]]
 
 
 def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
-    """Load a .safetensors / .ckpt / .pt / .bin file to numpy arrays."""
+    """Load a .safetensors / .ckpt / .pt / .bin file to numpy arrays.
+
+    Torch pickles (live2diff.ckpt, dpt_hybrid_384.pt — the reference's two
+    mandatory pickle artifacts, pipeline_animatediff_depth.py:279-290 and
+    depth_utils.py:11-32) are read by a torch-free restricted unpickler
+    (convert/torch_pickle.py); no torch install is required on the host.
+    """
     if path.endswith(".safetensors"):
         from safetensors import safe_open
 
@@ -42,13 +48,14 @@ def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
             for k in f.keys():
                 out[k] = f.get_tensor(k)
         return out
-    import torch
+    from .torch_pickle import load_torch_pickle
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = load_torch_pickle(path)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    return {k: v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
-            for k, v in sd.items() if hasattr(v, "numpy")}
+    if not isinstance(sd, dict):
+        raise ValueError(f"{path}: expected a state-dict, got {type(sd).__name__}")
+    return {k: np.asarray(v) for k, v in sd.items() if isinstance(v, np.ndarray)}
 
 
 def _transform(arr: np.ndarray, kind: str) -> np.ndarray:

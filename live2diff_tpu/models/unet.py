@@ -126,12 +126,63 @@ class UNetConfig:
             )
         return tuple(jnp.zeros(s, dtype=dtype) for s in shapes)
 
+    # Reference config keys we accept but do not need to act on, because our
+    # architecture fixes the only behavior the reference ever ships
+    # (/root/reference/configs/base_config.yaml:8-28). Values are the sole
+    # supported setting; anything else raises.
+    _FIXED_KEYS = {
+        "use_inflated_groupnorm": (True,),        # framewise GN is the only mode
+        "unet_use_temporal_attention": (False,),  # never enabled in any ref config
+        "motion_module_type": ("Streaming", "Vanilla"),  # one dual-mode module here
+        "temporal_attention_dim_div": (1,),
+        "temporal_position_encoding": (True,),
+        "zero_initialize": (True,),               # proj_out zero-init is built in
+        "attention_class_name": ("stream", "versatile"),
+        "unet_use_cross_frame_attention": (False,),  # SparseCausalAttention: off
+    }
+
+    @classmethod
+    def _check_keys(cls, section: str, d: dict, known: set) -> None:
+        unknown = [k for k in d if k not in known and k not in cls._FIXED_KEYS]
+        if unknown:
+            raise ValueError(
+                f"unknown {section} key(s) {unknown}: not part of the supported "
+                f"reference config surface (base_config.yaml); known keys: "
+                f"{sorted(known | set(cls._FIXED_KEYS))}"
+            )
+        for k, allowed in cls._FIXED_KEYS.items():
+            if k in d and d[k] not in allowed:
+                raise ValueError(
+                    f"{section}.{k}={d[k]!r} is unsupported (supported: {allowed}). "
+                    + ("SparseCausalAttention (ref attention.py:563) is defined but "
+                       "disabled in every shipped reference config; it is not "
+                       "implemented here." if k == "unet_use_cross_frame_attention"
+                       else "")
+                )
+
     @classmethod
     def from_reference_config(cls, cfg: dict, **overrides) -> "UNetConfig":
-        """Build from a reference-style ``unet_additional_kwargs`` dict."""
+        """Build from a reference-style ``unet_additional_kwargs`` dict.
+
+        Unknown keys raise (a typo'd config must fail loudly, not silently
+        drop the option); recognised-but-fixed keys raise only when set to a
+        value this framework does not implement — notably
+        ``unet_use_cross_frame_attention: true``.
+        """
         ua = cfg.get("unet_additional_kwargs", cfg) or {}
         mm = ua.get("motion_module_kwargs", {}) or {}
         ak = mm.get("attention_kwargs", {}) or {}
+        if "unet_additional_kwargs" in cfg:  # reference-shaped config: validate
+            cls._check_keys("unet_additional_kwargs", ua, {
+                "cond_mapping", "use_motion_module", "motion_module_resolutions",
+                "motion_module_kwargs",
+            })
+            cls._check_keys("motion_module_kwargs", mm, {
+                "num_attention_heads", "num_transformer_block",
+                "attention_block_types", "temporal_position_encoding_max_len",
+                "attention_kwargs",
+            })
+            cls._check_keys("attention_kwargs", ak, {"window_size", "sink_size"})
         kw = dict(
             cond_mapping=ua.get("cond_mapping", True),
             use_motion_module=ua.get("use_motion_module", True),

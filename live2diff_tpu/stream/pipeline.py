@@ -95,12 +95,17 @@ class StreamDiffusionDepth:
 
         n = schedule.num_steps
         self.num_steps = n
-        # per-step scalars, shaped for broadcasting over [n, h, w, c]
-        self.c_skip = jnp.asarray(schedule.c_skip)[:, None, None, None]
-        self.c_out = jnp.asarray(schedule.c_out)[:, None, None, None]
-        self.alpha = jnp.asarray(schedule.alpha_prod_sqrt)[:, None, None, None]
-        self.beta = jnp.asarray(schedule.beta_prod_sqrt)[:, None, None, None]
-        self.sub_timesteps = jnp.asarray(schedule.sub_timesteps, dtype=jnp.int32)
+        # per-step scalars, shaped for broadcasting over [n, h, w, c].
+        # Kept as NUMPY so they lower as inline literals: a device array
+        # captured as a jit constant forces a device->host fetch of its
+        # value at LOWERING time — over a remote-device transport each such
+        # fetch costs a full sync (measured ~49 s/constant on the axon
+        # tunnel, ~245 s of the round-2 cold start).
+        self.c_skip = np.asarray(schedule.c_skip, np.float32)[:, None, None, None]
+        self.c_out = np.asarray(schedule.c_out, np.float32)[:, None, None, None]
+        self.alpha = np.asarray(schedule.alpha_prod_sqrt, np.float32)[:, None, None, None]
+        self.beta = np.asarray(schedule.beta_prod_sqrt, np.float32)[:, None, None, None]
+        self.sub_timesteps = np.asarray(schedule.sub_timesteps, np.int32)
 
         self._prompt_embeds: Optional[jnp.ndarray] = None
         # NOTE: no jit-level layout pins here. The compile service honors
