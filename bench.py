@@ -6,26 +6,32 @@ streaming step (preprocess -> VAE encode -> depth -> stream-batch UNet ->
 LCM -> VAE decode), 512x512, 2 denoising steps, TinyVAE + MiDaS DPT-hybrid,
 uint8 camera frames in.
 
-Default protocol matches the reference's measurement: the reference times
-each step with CUDA events on the device
-(pipeline_stream_animation_depth.py:626-659) — device time, with no host
-round-trip inside the measured region (its frames arrive over local PCIe).
-The TPU analog here: input frames are pre-staged on device, steps are
-dispatched in short chains (state-serialised, so they execute
-back-to-back), and the host syncs once per chain; per-frame time =
-chain wall / chain length. This amortises the dev harness's ~27 ms-RTT
-tunnel out of the number exactly as CUDA events exclude host latency on
-the reference's local box. `--protocol pipelined` measures the production
-serving path instead (PipelinedStream, host->device upload overlapped with
-compute) — on this tunnel that is transport-bound (~25 MB/s, bursty), so
-it is reported as secondary fields; `--protocol sync` is a strictly
-synchronous per-frame loop including one tunnel round-trip per frame.
+Default protocol ("device") APPROXIMATES the reference's measurement: the
+reference times each step with CUDA events (start before preprocess +
+.to(device), end after decode, pipeline_stream_animation_depth.py:626-659)
+on a local-PCIe box. Here input frames are pre-staged on device, steps are
+dispatched in chains (state-serialised, so they execute back-to-back) and
+the host syncs once per chain; per-frame time = chain wall / chain length.
+This amortises the dev harness's ~27 ms-RTT tunnel out of the number the
+way local PCIe never bills it on the reference box. What the chain
+EXCLUDES vs the reference region — per-frame host->device upload and
+output fetch — is measured separately and reported as upload_ms/fetch_ms
+plus a combined fps_mean_with_io (tunnel-bound here; on a co-located host
+these are <1 ms).
+
+The HEADLINE is the reference-protocol statistic: mean per-frame time
+(test.py:201-205 reports mean±std), not a percentile and not a best
+window. p50 and the serving-path window are secondary fields.
+
+Defaults run the production serving settings (int8 KV-cache + int8-QK
+flash); their end-to-end accuracy cost vs bf16-exact settings is measured
+by --psnr-check (default on) and attached as psnr_int8_vs_bf16.
 
 Weights are randomly initialised (no checkpoints in this environment);
-FLOPs, memory traffic, and graph structure are identical to the real model,
-so timing is representative.
+FLOPs, memory traffic, and graph structure are identical to the real
+model, so timing is representative.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -42,8 +48,14 @@ import numpy as np
 _BASELINES = {(512, 512): 16.43, (768, 512): 12.15}
 BASELINE_FPS = 16.43  # 512x512, 2 steps
 
+_T0 = time.time()
 
-def main() -> None:
+
+def stage(msg: str) -> None:
+    print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def parse_args() -> argparse.Namespace:
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=512)
@@ -53,14 +65,14 @@ def main() -> None:
     p.add_argument("--no-depth", action="store_true")
     p.add_argument("--protocol", choices=["device", "pipelined", "sync"],
                    default="device",
-                   help="device (default): reference-parity device timing, "
-                        "chained dispatch + one sync per chain; pipelined: "
-                        "production serving path (tunnel-bound here); sync: "
-                        "one host round-trip per frame")
+                   help="device (default): chained dispatch + one sync per "
+                        "chain (approximates the reference's on-device event "
+                        "timing; see module docstring for exclusions); "
+                        "pipelined: production serving path (tunnel-bound "
+                        "here); sync: one host round-trip per frame")
     p.add_argument("--chain", type=int, default=10,
                    help="device protocol: steps dispatched per host sync")
-    p.add_argument("--sync", action="store_true",
-                   help="alias for --protocol sync")
+    p.add_argument("--sync", action="store_true", help="alias for --protocol sync")
     p.add_argument("--no-serving-window", action="store_true",
                    help="device protocol: skip the secondary pipelined "
                         "serving-path window")
@@ -69,8 +81,10 @@ def main() -> None:
     p.add_argument("--in-flight", type=int, default=3,
                    help="pipelined protocol: bounded in-flight dispatch window")
     p.add_argument("--windows", type=int, default=3,
-                   help="measurement windows of --frames each; headline = best "
-                        "window (tunnel bandwidth is bursty minute-to-minute)")
+                   help="pipelined protocol: measurement windows of --frames "
+                        "each; that protocol reports the best window (tunnel "
+                        "bandwidth is bursty minute-to-minute) plus all-window "
+                        "stats; ignored by the device protocol")
     p.add_argument("--uploaders", type=int, default=1,
                    help="pipelined protocol: concurrent host->device upload threads")
     p.add_argument("--upload-batch", type=int, default=1,
@@ -82,20 +96,207 @@ def main() -> None:
                         "bit-exact cache parity")
     p.add_argument("--spatial-qk", choices=["bf16", "int8"], default="int8",
                    help="spatial self-attention QK precision: int8 (default) runs "
-                        "the flash kernel's QK matmul at 2x MXU rate (~1%% logit "
-                        "noise, K mean-centred; see ops/flash_attention.py)")
+                        "the flash kernel's QK matmul at 2x MXU rate; measured "
+                        "end-to-end cost: see psnr_int8_vs_bf16 in the output")
     p.add_argument("--steps", type=int, nargs="*", default=[30, 40],
                    help="t_index_list (2 entries = reference speed-table setting)")
-    args = p.parse_args()
+    # round-3 additions
+    p.add_argument("--no-selftest", action="store_true",
+                   help="skip the on-chip Pallas kernel-vs-XLA selftest preamble")
+    p.add_argument("--no-psnr-check", action="store_true",
+                   help="skip the int8-defaults vs bf16-exact output PSNR check")
+    p.add_argument("--psnr-frames", type=int, default=50)
+    p.add_argument("--no-second-res", action="store_true",
+                   help="skip the 768x512 row")
+    p.add_argument("--no-sessions-row", action="store_true",
+                   help="skip the 4-session aggregate row")
+    p.add_argument("--second-res-frames", type=int, default=40)
+    return p.parse_args()
 
-    if not args.tiny and args.spatial_qk == "int8":
-        os.environ["LIVE2DIFF_FLASH"] = "int8"
 
-    t_start = time.time()
+def make_config(steps) -> dict:
+    return {
+        "num_inference_steps": 50,
+        "t_index_list": list(steps),
+        "noise_scheduler_kwargs": {
+            "num_train_timesteps": 1000, "beta_start": 0.00085,
+            "beta_end": 0.012, "beta_schedule": "linear",
+        },
+        "unet_additional_kwargs": {
+            "cond_mapping": True,
+            "motion_module_kwargs": {
+                "num_attention_heads": 8,
+                "temporal_position_encoding_max_len": 24,
+                "attention_kwargs": {"window_size": 16, "sink_size": 8},
+            },
+        },
+    }
 
-    def stage(msg: str) -> None:
-        print(f"# [{time.time() - t_start:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
+def build(args, height, width, kv_cache: str, spatial_qk: str):
+    """Build the full pipeline at the given settings (flash variant is an
+    env knob read at trace time, ops/attention.py:293)."""
+    import jax.numpy as jnp
+
+    from live2diff_tpu.builder import build_pipeline
+
+    os.environ["LIVE2DIFF_FLASH"] = "int8" if spatial_qk == "int8" else "dmajor"
+    return build_pipeline(
+        make_config(args.steps), height=height, width=width,
+        use_depth=not args.no_depth, dtype=jnp.bfloat16,
+        kv_cache_dtype=kv_cache,
+        # uint8 in AND out: as served (4x smaller downloads over the tunnel)
+        output_uint8=True,
+    )
+
+
+def prepare_and_warm(stream, prompt, args, height, width, rng):
+    import jax
+
+    warmup_frames = (rng.rand(8, height, width, 3).astype(np.float32)) * 2 - 1
+    t0 = time.time()
+    state, _ = stream.prepare(warmup_frames, prompt)
+    prepare_s = time.time() - t0
+    stage(f"prepare done ({prepare_s:.1f}s)")
+    frame = (rng.rand(height, width, 3) * 255).astype(np.uint8)
+    t0 = time.time()
+    for _ in range(args.warmup_iters):
+        state, out = stream(state, frame)
+        jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    stage(f"frame step warm ({compile_s:.1f}s)")
+    return state, prepare_s, compile_s
+
+
+def device_protocol(stream, state, args, height, width, rng, frames: int, chain: int):
+    """Chained on-device stepping; returns (stats dict, final state)."""
+    import jax
+
+    dev_frames = [
+        jax.device_put((rng.rand(height, width, 3) * 255).astype(np.uint8))
+        for _ in range(16)
+    ]
+    chain = max(chain, 1)
+    n_chains = max(frames // chain, 1)
+    chain_times = []
+    out = None
+    for c in range(n_chains):
+        t0 = time.perf_counter()
+        for i in range(chain):
+            state, out = stream(state, dev_frames[(c * chain + i) % 16])
+        jax.block_until_ready(out)
+        chain_times.append((time.perf_counter() - t0) / chain)
+    per = np.asarray(chain_times)
+    # chain means of equal length: their mean IS the global per-frame mean
+    mean = float(per.mean()) * 1000
+    stats = {
+        "frame_ms_mean": round(mean, 2),
+        "chain_mean_ms_p50": round(float(np.percentile(per, 50)) * 1000, 2),
+        "chain_mean_ms_std": round(float(per.std()) * 1000, 2),
+        "fps_mean": round(1000.0 / mean, 2),
+        "fps_p50": round(1.0 / float(np.percentile(per, 50)), 2),
+        "frames": n_chains * chain,
+    }
+    # per-frame host I/O, measured separately (excluded from the chain;
+    # tunnel-bound on this dev harness, <1 ms on a co-located host)
+    up, fetch = [], []
+    frame = (rng.rand(height, width, 3) * 255).astype(np.uint8)
+    for _ in range(5):
+        t0 = time.perf_counter()
+        f = jax.device_put(frame)
+        jax.block_until_ready(f)
+        up.append(time.perf_counter() - t0)
+        state, out = stream(state, f)
+        t0 = time.perf_counter()
+        np.asarray(out)
+        fetch.append(time.perf_counter() - t0)
+    stats["upload_ms"] = round(float(np.median(up)) * 1000, 2)
+    stats["fetch_ms"] = round(float(np.median(fetch)) * 1000, 2)
+    stats["fps_mean_with_io"] = round(
+        1000.0 / (mean + stats["upload_ms"] + stats["fetch_ms"]), 2)
+    return stats, state
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else float(10 * np.log10(255.0**2 / mse))
+
+
+def run_stream_outputs(stream, prompt, args, height, width, n_frames: int):
+    """Prepare with fixed seeds and collect n_frames uint8 outputs."""
+    import jax
+
+    rng = np.random.RandomState(1234)
+    warmup_frames = (rng.rand(8, height, width, 3).astype(np.float32)) * 2 - 1
+    state, _ = stream.prepare(warmup_frames, prompt, seed=7)
+    outs = []
+    for _ in range(n_frames):
+        frame = (rng.rand(height, width, 3) * 255).astype(np.uint8)
+        state, out = stream(state, frame)
+        outs.append(np.asarray(out))
+    return np.stack(outs)
+
+
+def psnr_check(args, built_int8, prompt) -> float:
+    """int8 serving defaults vs bf16-exact settings: same weights (seeded
+    init), same warmup, same frames, same noise seed -> output PSNR."""
+    n = args.psnr_frames
+    outs_int8 = run_stream_outputs(
+        built_int8.stream, prompt, args, args.height, args.width, n)
+    stage("psnr-check: int8 outputs collected")
+
+    built_bf16 = build(args, args.height, args.width, "bf16", "bf16")
+    from live2diff_tpu.builder import encode_prompt_for_pipeline
+
+    prompt_b = encode_prompt_for_pipeline(
+        built_bf16, "masterpiece, best quality, a benchmark")
+    outs_bf16 = run_stream_outputs(
+        built_bf16.stream, prompt_b, args, args.height, args.width, n)
+    stage("psnr-check: bf16 outputs collected")
+    val = psnr(outs_int8, outs_bf16)
+    stage(f"psnr int8-defaults vs bf16-exact over {n} frames: {val:.2f} dB")
+    return round(val, 2)
+
+
+def sessions_row(built, args, height, width, s: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from live2diff_tpu.stream.client import PipelinedStream
+    from live2diff_tpu.stream.multi import MultiStream
+
+    from live2diff_tpu.builder import encode_prompt_for_pipeline
+
+    prompt = encode_prompt_for_pipeline(built, "masterpiece, best quality, a benchmark")
+    rng = np.random.RandomState(0)
+    ms = MultiStream(built.stream, s)
+    warmup = (rng.rand(s, 8, height, width, 3).astype(np.float32)) * 2 - 1
+    pa = jnp.asarray(prompt)
+    prompts = jnp.broadcast_to(pa.reshape(1, *pa.shape[-2:]), (s, *pa.shape[-2:]))
+    states, _ = ms.prepare(warmup, prompts)
+    frames = (rng.rand(s, height, width, 3) * 255).astype(np.uint8)
+    for _ in range(3):
+        states, out = ms(states, frames)
+        jax.block_until_ready(out)
+    rounds = [(rng.rand(s, height, width, 3) * 255).astype(np.uint8)
+              for _ in range(40)]
+    ps = PipelinedStream(ms, states, max_in_flight=args.in_flight)
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in ps.map(rounds))
+    wall = time.perf_counter() - t0
+    per = np.asarray(ps.frame_times)
+    p50 = float(np.percentile(per, 50)) * 1000 if per.size else 0.0
+    agg = s * 1000.0 / p50 if p50 else 0.0
+    stage(f"sessions={s}: p50 round {p50:.1f}ms aggregate {agg:.2f} fps "
+          f"(wall {s * n_out / wall:.2f})")
+    return {
+        f"aggregate_fps_{s}sessions": round(agg, 2),
+        f"wall_fps_{s}sessions": round(s * n_out / wall, 2),
+    }
+
+
+def main() -> None:
+    args = parse_args()
     if os.environ.get("LIVE2DIFF_BENCH_DEBUG"):
         import logging
 
@@ -117,16 +318,29 @@ def main() -> None:
         enable_compilation_cache()  # engines/xla_cache: skip ~minutes of recompiles
     stage("imports + cache ready")
 
+    result: dict = {}
+
+    # ---- on-chip kernel selftest preamble ---------------------------------
+    if not args.tiny and not args.no_selftest:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.kernel_check import run_all
+
+        st = run_all(quick=True)
+        result["kernel_selftest"] = "pass" if st.pop("pass") else "fail"
+        worst = max((v["max_rel_err"] for v in st.values()), default=0.0)
+        result["kernel_selftest_worst_rel_err"] = worst
+        stage(f"kernel selftest: {result['kernel_selftest']} (worst rel err {worst:.4f})")
+        if result["kernel_selftest"] == "fail":
+            print(f"# kernel selftest FAILURES: "
+                  f"{ {k: v for k, v in st.items() if not v['ok']} }", file=sys.stderr)
+
+    # ---- build -------------------------------------------------------------
     if args.tiny:
         height = width = 64
-        config = {
-            "num_inference_steps": 50,
-            "t_index_list": list(args.steps),
-            "noise_scheduler_kwargs": {},
-            "unet_additional_kwargs": {},
-        }
         built = build_pipeline(
-            config, height=height, width=width, use_depth=False, dtype=jnp.float32,
+            make_config(args.steps) | {"noise_scheduler_kwargs": {},
+                                       "unet_additional_kwargs": {}},
+            height=height, width=width, use_depth=False, dtype=jnp.float32,
             unet_overrides=dict(
                 block_out_channels=(8, 16, 16, 16), attention_head_dim=2,
                 cross_attention_dim=768, norm_num_groups=4,
@@ -135,29 +349,7 @@ def main() -> None:
         )
     else:
         height, width = args.height, args.width
-        config = {
-            "num_inference_steps": 50,
-            "t_index_list": list(args.steps),
-            "noise_scheduler_kwargs": {
-                "num_train_timesteps": 1000, "beta_start": 0.00085,
-                "beta_end": 0.012, "beta_schedule": "linear",
-            },
-            "unet_additional_kwargs": {
-                "cond_mapping": True,
-                "motion_module_kwargs": {
-                    "num_attention_heads": 8,
-                    "temporal_position_encoding_max_len": 24,
-                    "attention_kwargs": {"window_size": 16, "sink_size": 8},
-                },
-            },
-        }
-        built = build_pipeline(
-            config, height=height, width=width,
-            use_depth=not args.no_depth, dtype=jnp.bfloat16,
-            kv_cache_dtype=args.kv_cache,
-            # uint8 in AND out: as served (4x smaller downloads over the tunnel)
-            output_uint8=True,
-        )
+        built = build(args, height, width, args.kv_cache, args.spatial_qk)
 
     stream = built.stream
     stage("pipeline built (params on device)")
@@ -167,153 +359,103 @@ def main() -> None:
     rng = np.random.RandomState(0)
     baseline_fps = _BASELINES.get((width, height), BASELINE_FPS)
 
+    # ---- multi-session-only invocation (--sessions N) ----------------------
     if args.sessions > 1:
-        # multi-session serving: S streams batched along a session axis,
-        # one compiled dispatch per round (BASELINE.json config 5)
-        from live2diff_tpu.stream.multi import MultiStream
-
-        s = args.sessions
-        ms = MultiStream(stream, s)
-        warmup = (rng.rand(s, 8, height, width, 3).astype(np.float32)) * 2 - 1
-        prompts = jnp.broadcast_to(
-            jnp.asarray(prompt).reshape(1, *jnp.asarray(prompt).shape[-2:]),
-            (s, *jnp.asarray(prompt).shape[-2:]),
-        )
-        t0 = time.time()
-        states, _ = ms.prepare(warmup, prompts)
-        prepare_s = time.time() - t0
-        stage(f"prepare done ({prepare_s:.1f}s)")
-
-        frames = (rng.rand(s, height, width, 3) * 255).astype(np.uint8)
-        t0 = time.time()
-        for _ in range(args.warmup_iters):
-            states, out = ms(states, frames)
-            jax.block_until_ready(out)
-        compile_s = time.time() - t0
-
-        # pipelined rounds, same protocol as single-stream serving
-        from live2diff_tpu.stream.client import PipelinedStream
-
-        rounds = [
-            (rng.rand(s, height, width, 3) * 255).astype(np.uint8)
-            for _ in range(args.frames)
-        ]
-        ps = PipelinedStream(ms, states, max_in_flight=args.in_flight)
-        t0 = time.perf_counter()
-        n_out = 0
-        for _ in ps.map(rounds):
-            n_out += 1
-        wall = time.perf_counter() - t0
-        per = np.asarray(ps.frame_times)
-        p50 = float(np.percentile(per, 50)) * 1000 if per.size else 0.0
-        fps = s * 1000.0 / p50 if p50 else 0.0
-        print(
-            f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
-            f"sessions={s} p50 round={p50:.2f}ms aggregate fps={fps:.2f} "
-            f"per-session fps={fps/s:.2f} wall throughput={s*n_out/wall:.2f}",
-            file=sys.stderr,
-        )
+        row = sessions_row(built, args, height, width, args.sessions)
+        agg = row[f"aggregate_fps_{args.sessions}sessions"]
         print(json.dumps({
-            "metric": f"aggregate_fps_p50_{width}x{height}_{len(args.steps)}steps_{s}sessions",
-            "value": round(fps, 2),
+            "metric": f"aggregate_fps_p50_{width}x{height}_{len(args.steps)}steps_{args.sessions}sessions",
+            "value": agg,
             "unit": "fps",
-            "vs_baseline": round(fps / baseline_fps, 3),
-            "wall_throughput_fps": round(s * n_out / wall, 2),
+            "vs_baseline": round(agg / baseline_fps, 3),
+            "protocol": "pipelined-rounds",
+            **row,
         }))
         return
 
-    warmup_frames = (rng.rand(8, height, width, 3).astype(np.float32)) * 2 - 1
-
-    t0 = time.time()
-    state, _ = stream.prepare(warmup_frames, prompt)
-    prepare_s = time.time() - t0
-    stage(f"prepare done ({prepare_s:.1f}s)")
-
-    # compile + warm the per-frame step (uint8 path, as served)
-    frame = (rng.rand(height, width, 3) * 255).astype(np.uint8)
-    t0 = time.time()
-    for _ in range(args.warmup_iters):
-        state, out = stream(state, frame)
-        jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    stage(f"frame step warm ({compile_s:.1f}s)")
+    state, prepare_s, compile_s = prepare_and_warm(
+        stream, prompt, args, height, width, rng)
+    result["prepare_s"] = round(prepare_s, 1)
+    result["first_step_compile_s"] = round(compile_s, 1)
 
     protocol = "sync" if args.sync else args.protocol
+
     if protocol == "device":
-        # Reference-protocol parity (README speed table): per-step device
-        # time, host latency excluded — the reference's CUDA-event
-        # measurement (pipeline_stream_animation_depth.py:626-659) on its
-        # local PCIe box. Inputs are pre-staged on device; each chain of
-        # `--chain` steps executes back-to-back (serialised by the donated
-        # state dependency) with ONE host sync at the end, so the tunnel's
-        # ~27 ms RTT is amortised out instead of billed to every frame.
-        dev_frames = [
-            jax.device_put((rng.rand(height, width, 3) * 255).astype(np.uint8))
-            for _ in range(16)
-        ]
-        chain = max(args.chain, 1)
-        n_chains = max(args.frames // chain, 1)
-        chain_times = []
-        out = None
-        for c in range(n_chains):
-            t0 = time.perf_counter()
-            for i in range(chain):
-                state, out = stream(state, dev_frames[(c * chain + i) % 16])
-            jax.block_until_ready(out)
-            chain_times.append((time.perf_counter() - t0) / chain)
-        per = np.asarray(chain_times)
-        p50 = float(np.percentile(per, 50)) * 1000
-        mean, std = float(per.mean()) * 1000, float(per.std()) * 1000
-        fps = 1000.0 / p50
-        stage(
-            f"device protocol: {n_chains} chains x {chain} steps, "
-            f"frame {mean:.2f}±{std:.2f}ms p50 {p50:.2f}ms fps={fps:.2f}"
-        )
-
-        result = {
-            "metric": f"fps_p50_{width}x{height}_{len(args.steps)}steps",
-            "value": round(fps, 2),
+        stats, state = device_protocol(
+            stream, state, args, height, width, rng, args.frames, args.chain)
+        stage(f"device protocol: frame mean {stats['frame_ms_mean']}ms "
+              f"(chain p50 {stats['chain_mean_ms_p50']}ms) fps={stats['fps_mean']}")
+        result.update({
+            # distinct, protocol-scoped metric name (mean-based headline,
+            # reference statistic: test.py:201-205 reports mean±std)
+            "metric": f"fps_mean_{width}x{height}_{len(args.steps)}steps",
+            "value": stats["fps_mean"],
             "unit": "fps",
-            "vs_baseline": round(fps / baseline_fps, 3),
-            "protocol": f"device-sync (chains of {chain})",
-            "frame_ms_mean": round(mean, 2),
-            "frame_ms_p50": round(p50, 2),
-            "frames": n_chains * chain,
-        }
+            "vs_baseline": round(stats["fps_mean"] / baseline_fps, 3),
+            "protocol": f"device-sync (chains of {max(args.chain, 1)})",
+            **stats,
+        })
 
-        if not args.no_serving_window:
-            # secondary: one production serving-path window over the tunnel
+        if not args.no_serving_window and not args.tiny:
             from live2diff_tpu.stream.client import PipelinedStream
 
-            frames = [
-                (rng.rand(height, width, 3) * 255).astype(np.uint8)
-                for _ in range(args.frames)
-            ]
+            frames = [(rng.rand(height, width, 3) * 255).astype(np.uint8)
+                      for _ in range(args.frames)]
             ps = PipelinedStream(
-                stream, state,
-                max_in_flight=args.in_flight,
-                upload_threads=args.uploaders,
-                upload_batch=args.upload_batch,
-            )
+                stream, state, max_in_flight=args.in_flight,
+                upload_threads=args.uploaders, upload_batch=args.upload_batch)
             t0 = time.perf_counter()
             n_out = sum(1 for _ in ps.map(frames))
             wall = time.perf_counter() - t0
-            state = ps.state
             sper = np.asarray(ps.frame_times)
             sp50 = float(np.percentile(sper, 50)) * 1000 if sper.size else 0.0
             result["serving_wall_fps"] = round(n_out / wall, 2)
             result["serving_p50_fps"] = round(1000.0 / sp50, 2) if sp50 else 0.0
-            stage(
-                f"serving window (tunnel-bound): wall {n_out / wall:.2f} fps, "
-                f"p50 {sp50:.1f}ms"
-            )
+            stage(f"serving window (tunnel-bound): wall {n_out / wall:.2f} fps, "
+                  f"p50 {sp50:.1f}ms")
 
-        print(
-            f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
-            f"device-protocol frame {mean:.2f}±{std:.2f}ms "
-            f"p50 {p50:.2f}ms fps={fps:.2f}",
-            file=sys.stderr,
-        )
+        # ---- int8-vs-bf16 end-to-end accuracy of the serving defaults -----
+        if (not args.tiny and not args.no_psnr_check
+                and (args.kv_cache == "int8" or args.spatial_qk == "int8")):
+            del state
+            result["psnr_int8_vs_bf16"] = psnr_check(args, built, prompt)
+            result["psnr_frames"] = args.psnr_frames
+
+        # ---- multi-session aggregate row -----------------------------------
+        if not args.tiny and not args.no_sessions_row:
+            try:
+                result.update(sessions_row(built, args, height, width, 4))
+            except Exception as e:  # keep the headline even if this row dies
+                stage(f"sessions row failed: {e!r}")
+                result["aggregate_fps_4sessions"] = None
+
+        del built, stream
+
+        # ---- second resolution row (reference table: 768x512 = 12.15) ------
+        if not args.tiny and not args.no_second_res and (width, height) != (768, 512):
+            try:
+                os.environ["LIVE2DIFF_FLASH"] = (
+                    "int8" if args.spatial_qk == "int8" else "dmajor")
+                built2 = build(args, 512, 768, args.kv_cache, args.spatial_qk)
+                prompt2 = encode_prompt_for_pipeline(
+                    built2, "masterpiece, best quality, a benchmark")
+                st2, p2, c2 = prepare_and_warm(
+                    built2.stream, prompt2, args, 512, 768, rng)
+                stats2, _ = device_protocol(
+                    built2.stream, st2, args, 512, 768, rng,
+                    args.second_res_frames, args.chain)
+                result["fps_mean_768x512"] = stats2["fps_mean"]
+                result["vs_baseline_768x512"] = round(
+                    stats2["fps_mean"] / _BASELINES[(768, 512)], 3)
+                stage(f"768x512: {stats2['fps_mean']} fps "
+                      f"(baseline 12.15, x{result['vs_baseline_768x512']})")
+            except Exception as e:
+                stage(f"768x512 row failed: {e!r}")
+                result["fps_mean_768x512"] = None
+
+        print(f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
+              f"headline mean {result['frame_ms_mean']}ms fps={result['value']}",
+              file=sys.stderr)
         print(json.dumps(result))
         return
 
@@ -330,75 +472,52 @@ def main() -> None:
             times.append(dt)
             ema = dt if i == 0 else 0.9 * ema + 0.1 * dt
         mean = float(np.mean(times))
-        std = float(np.std(times))
         fps = 1.0 / mean
-        print(
-            f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
-            f"frame={mean*1000:.2f}±{std*1000:.2f}ms ema={ema*1000:.2f}ms "
-            f"fps={fps:.2f} (ema fps={1/ema:.2f})",
-            file=sys.stderr,
-        )
-    else:
-        # production protocol: pipelined upload + bounded in-flight window
-        from live2diff_tpu.stream.client import PipelinedStream
-
-        frames = [
-            (rng.rand(height, width, 3) * 255).astype(np.uint8)
-            for _ in range(args.frames)
-        ]
-        # The dev tunnel's bandwidth is bursty on the ~minute scale; measure
-        # several windows and headline the best one (the steady-state rate
-        # absent transient transport stalls — transport is not what this
-        # benchmark is about; see module docstring)
-        window_stats = []
-        for w in range(max(args.windows, 1)):
-            ps = PipelinedStream(
-                stream, state,
-                max_in_flight=args.in_flight,
-                upload_threads=args.uploaders,
-                upload_batch=args.upload_batch,
-            )
-            t0 = time.perf_counter()
-            n_out = 0
-            for _ in ps.map(frames):
-                n_out += 1
-            wall = time.perf_counter() - t0
-            state = ps.state  # donated: the pre-window state is gone
-            per = np.asarray(ps.frame_times)
-            wp50 = float(np.percentile(per, 50)) * 1000 if per.size else 0.0
-            window_stats.append((wp50, n_out / wall, n_out))
-            stage(f"window {w}: p50 {wp50:.1f}ms, wall {n_out / wall:.2f} fps")
-        p50, throughput, n_out = min(window_stats)
-        wall = n_out / throughput
-        # Headline = 1/median(inter-frame): the per-frame rate the pipeline
-        # sustains absent external transport stalls — the same statistic the
-        # reference's speed table uses (mean of per-call GPU-event times on
-        # an unloaded PCIe box, /root/reference/README.md:43-50 +
-        # pipeline_stream_animation_depth.py:626-659). Raw wall-clock
-        # throughput over this dev tunnel (~27 ms RTT, ~25 MB/s, bursty) is
-        # reported alongside.
-        fps = 1000.0 / p50 if p50 else 0.0
-        print(
-            f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
-            f"pipelined {n_out} frames in {wall:.2f}s "
-            f"p50 inter-frame {p50:.1f}ms (fps={fps:.2f}) "
-            f"wall throughput={throughput:.2f} fps",
-            file=sys.stderr,
-        )
+        print(f"# sync frame={mean*1000:.2f}ms ema={ema*1000:.2f}ms fps={fps:.2f}",
+              file=sys.stderr)
         print(json.dumps({
-            "metric": f"fps_p50_{width}x{height}_{len(args.steps)}steps",
+            "metric": f"sync_fps_{width}x{height}_{len(args.steps)}steps",
             "value": round(fps, 2),
             "unit": "fps",
             "vs_baseline": round(fps / baseline_fps, 3),
-            "wall_throughput_fps": round(throughput, 2),
-            "frames": n_out,
+            "protocol": "sync (per-frame tunnel RTT included)",
         }))
         return
+
+    # production protocol: pipelined upload + bounded in-flight window
+    from live2diff_tpu.stream.client import PipelinedStream
+
+    frames = [(rng.rand(height, width, 3) * 255).astype(np.uint8)
+              for _ in range(args.frames)]
+    # The dev tunnel's bandwidth is bursty on the ~minute scale; measure
+    # several windows, report best + all windows
+    window_stats = []
+    for w in range(max(args.windows, 1)):
+        ps = PipelinedStream(
+            stream, state, max_in_flight=args.in_flight,
+            upload_threads=args.uploaders, upload_batch=args.upload_batch)
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in ps.map(frames))
+        wall = time.perf_counter() - t0
+        state = ps.state  # donated: the pre-window state is consumed
+        per = np.asarray(ps.frame_times)
+        wp50 = float(np.percentile(per, 50)) * 1000 if per.size else 0.0
+        window_stats.append((wp50, n_out / wall, n_out))
+        stage(f"window {w}: p50 {wp50:.1f}ms, wall {n_out / wall:.2f} fps")
+    p50, throughput, n_out = min(window_stats)
+    fps = 1000.0 / p50 if p50 else 0.0
+    print(f"# pipelined best-window p50 {p50:.1f}ms (fps={fps:.2f}) "
+          f"wall {throughput:.2f} fps", file=sys.stderr)
     print(json.dumps({
-        "metric": f"fps_{width}x{height}_{len(args.steps)}steps",
+        "metric": f"serving_fps_p50_{width}x{height}_{len(args.steps)}steps",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "protocol": f"pipelined serving (best of {len(window_stats)} windows; "
+                    "tunnel-bound transport)",
+        "wall_throughput_fps": round(throughput, 2),
+        "all_windows_p50_ms": [round(w[0], 1) for w in window_stats],
+        "frames": n_out,
     }))
 
 
