@@ -237,24 +237,35 @@ def run_stream_outputs(stream, prompt, args, height, width, n_frames: int):
     return np.stack(outs)
 
 
-def psnr_check(args, built_int8, prompt) -> float:
-    """int8 serving defaults vs bf16-exact settings: same weights (seeded
-    init), same warmup, same frames, same noise seed -> output PSNR."""
-    n = args.psnr_frames
-    outs_int8 = run_stream_outputs(
-        built_int8.stream, prompt, args, args.height, args.width, n)
-    stage("psnr-check: int8 outputs collected")
+def collect_now() -> None:
+    """Reclaim dropped pipelines' device memory NOW. The stream <->
+    jit-wrapper reference cycles otherwise hold params + caches (~5-6 GB
+    at 512x512) until a GC cycle happens to run, which OOMed the rows
+    that follow. Callers must `del` their own references first."""
+    import gc
 
-    built_bf16 = build(args, args.height, args.width, "bf16", "bf16")
+    gc.collect()
+
+
+def psnr_bf16_side(args, outs_int8) -> float:
+    """Second half of the int8-vs-bf16 check: build the bf16-exact pipeline
+    (same seeded weights), replay the same warmup/frames/noise, PSNR.
+    The int8 pipeline must already be freed — two full pipelines plus
+    session caches do not fit one chip."""
     from live2diff_tpu.builder import encode_prompt_for_pipeline
 
+    built_bf16 = build(args, args.height, args.width, "bf16", "bf16")
     prompt_b = encode_prompt_for_pipeline(
         built_bf16, "masterpiece, best quality, a benchmark")
     outs_bf16 = run_stream_outputs(
-        built_bf16.stream, prompt_b, args, args.height, args.width, n)
+        built_bf16.stream, prompt_b, args, args.height, args.width,
+        args.psnr_frames)
     stage("psnr-check: bf16 outputs collected")
+    del built_bf16, prompt_b
+    collect_now()
     val = psnr(outs_int8, outs_bf16)
-    stage(f"psnr int8-defaults vs bf16-exact over {n} frames: {val:.2f} dB")
+    stage(f"psnr int8-defaults vs bf16-exact over {args.psnr_frames} frames: "
+          f"{val:.2f} dB")
     return round(val, 2)
 
 
@@ -349,7 +360,9 @@ def main() -> None:
         )
     else:
         height, width = args.height, args.width
+        t_build = time.time()
         built = build(args, height, width, args.kv_cache, args.spatial_qk)
+        result["build_s"] = round(time.time() - t_build, 1)
 
     stream = built.stream
     stage("pipeline built (params on device)")
@@ -414,12 +427,12 @@ def main() -> None:
             stage(f"serving window (tunnel-bound): wall {n_out / wall:.2f} fps, "
                   f"p50 {sp50:.1f}ms")
 
-        # ---- int8-vs-bf16 end-to-end accuracy of the serving defaults -----
-        if (not args.tiny and not args.no_psnr_check
-                and (args.kv_cache == "int8" or args.spatial_qk == "int8")):
-            del state
-            result["psnr_int8_vs_bf16"] = psnr_check(args, built, prompt)
-            result["psnr_frames"] = args.psnr_frames
+        del state  # consumed by the serving window; free before the rows
+
+        # Phase ordering is memory-driven: the sessions row needs 4 session
+        # states (~6 GB int8) next to the int8 pipeline; the bf16 psnr side
+        # and the 768x512 row each need their own full pipeline. At most one
+        # pipeline lives at a time; free_pipeline() between phases.
 
         # ---- multi-session aggregate row -----------------------------------
         if not args.tiny and not args.no_sessions_row:
@@ -428,14 +441,31 @@ def main() -> None:
             except Exception as e:  # keep the headline even if this row dies
                 stage(f"sessions row failed: {e!r}")
                 result["aggregate_fps_4sessions"] = None
+            collect_now()  # the session states
+
+        # ---- int8-vs-bf16 end-to-end accuracy of the serving defaults -----
+        run_psnr = (not args.tiny and not args.no_psnr_check
+                    and (args.kv_cache == "int8" or args.spatial_qk == "int8"))
+        outs_int8 = None
+        if run_psnr:
+            outs_int8 = run_stream_outputs(
+                stream, prompt, args, height, width, args.psnr_frames)
+            stage("psnr-check: int8 outputs collected")
 
         del built, stream
+        collect_now()
+
+        if run_psnr:
+            try:
+                result["psnr_int8_vs_bf16"] = psnr_bf16_side(args, outs_int8)
+                result["psnr_frames"] = args.psnr_frames
+            except Exception as e:
+                stage(f"psnr bf16 side failed: {e!r}")
+                result["psnr_int8_vs_bf16"] = None
 
         # ---- second resolution row (reference table: 768x512 = 12.15) ------
         if not args.tiny and not args.no_second_res and (width, height) != (768, 512):
             try:
-                os.environ["LIVE2DIFF_FLASH"] = (
-                    "int8" if args.spatial_qk == "int8" else "dmajor")
                 built2 = build(args, 512, 768, args.kv_cache, args.spatial_qk)
                 prompt2 = encode_prompt_for_pipeline(
                     built2, "masterpiece, best quality, a benchmark")

@@ -13,7 +13,7 @@ All sessions share model weights and shapes; prompts differ per session.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,29 +23,55 @@ from .pipeline import StreamDiffusionDepth
 from .state import StreamState
 
 
+def _programs_for(stream: StreamDiffusionDepth, num_sessions: int):
+    """Compiled programs shared across MultiStream instances.
+
+    jax.jit caches by function identity, so rebuilding the vmap wrappers per
+    instance would re-trace (and re-compile) the batched step every time a
+    server resizes its session pool. Cached ON the stream object (the jit
+    wrappers close over it, so a module-level registry would pin the
+    pipeline's params in HBM forever; an instance attribute is just a
+    reference cycle the GC collects with the pipeline)."""
+    per_stream = getattr(stream, "_multi_programs", None)
+    if per_stream is None:
+        per_stream = stream._multi_programs = {}
+    progs = per_stream.get(num_sessions)
+    if progs is None:
+        progs = (
+            # vmap over (state, frame, prompt); params broadcast
+            jax.jit(
+                jax.vmap(stream._frame_step, in_axes=(None, 0, 0, 0)),
+                donate_argnums=(1,),
+            ),
+            jax.jit(
+                jax.vmap(stream._warmup_denoise, in_axes=(None, 0, 0, 0)),
+                donate_argnums=(1,),
+            ),
+            # donate only the stacked tree: the single-session `st` leaves
+            # can never alias the [S, ...] outputs (donating them just
+            # produces an unusable-donation warning per cache tensor)
+            jax.jit(
+                lambda stacked, st, i: jax.tree_util.tree_map(
+                    lambda a, b: jax.lax.dynamic_update_index_in_dim(a, b, i, 0),
+                    stacked, st,
+                ),
+                donate_argnums=(0,),
+            ),
+        )
+        per_stream[num_sessions] = progs
+    return progs
+
+
 class MultiStream:
     """S concurrent streams, one compiled batched step."""
 
     def __init__(self, stream: StreamDiffusionDepth, num_sessions: int):
         self.stream = stream
         self.num_sessions = num_sessions
-        # vmap over (state, frame, prompt); params broadcast
-        self._jit_step = jax.jit(
-            jax.vmap(stream._frame_step, in_axes=(None, 0, 0, 0)),
-            donate_argnums=(1,),
-        )
-        self._jit_prepare = jax.jit(
-            jax.vmap(stream._warmup_denoise, in_axes=(None, 0, 0, 0)),
-            donate_argnums=(1,),
+        self._jit_step, self._jit_prepare, self._write_slot = _programs_for(
+            stream, num_sessions
         )
         self._prompts = None
-        self._write_slot = jax.jit(
-            lambda stacked, st, i: jax.tree_util.tree_map(
-                lambda a, b: jax.lax.dynamic_update_index_in_dim(a, b, i, 0),
-                stacked, st,
-            ),
-            donate_argnums=(0, 1),
-        )
 
     def init_states(self, seeds=None) -> StreamState:
         if seeds is None:
@@ -81,22 +107,8 @@ class MultiStream:
         if seeds is None:
             seeds = range(self.num_sessions)
 
-        # donated in-place scatter: peak HBM = S*state + 1 state instead of
-        # 2*S*state (the caches are ~3 GB/session at 512x512)
-        @jax.jit
-        def _alloc(st):
-            return jax.tree_util.tree_map(
-                lambda a: jnp.zeros((self.num_sessions, *a.shape), a.dtype), st
-            )
-
-        write = jax.jit(
-            lambda stacked, st, i: jax.tree_util.tree_map(
-                lambda a, b: jax.lax.dynamic_update_index_in_dim(a, b, i, 0),
-                stacked, st,
-            ),
-            donate_argnums=(0, 1),
-        )
-
+        # donated in-place scatter (self._write_slot): peak HBM = S*state +
+        # 1 transient state instead of 2*S*state (caches ~3 GB/session @512²)
         states = None
         per_out = []
         for i, seed in enumerate(seeds):
@@ -106,8 +118,8 @@ class MultiStream:
                 self._prompts[i],
             )
             if states is None:
-                states = _alloc(st)
-            states = write(states, st, i)
+                states = self.alloc_states()
+            states = self._write_slot(states, st, i)
             per_out.append(np.asarray(out))
         return states, np.stack(per_out)
 

@@ -67,3 +67,34 @@ def test_incremental_admission_matches_bulk_prepare(pipe):
         np.asarray(out_b), np.asarray(out_i), rtol=2e-4, atol=2e-4,
         err_msg="incremental admission diverged from bulk prepare",
     )
+
+
+def test_program_cache_shared_across_instances():
+    """Two MultiStream instances over the same pipeline must share compiled
+    programs (jax.jit caches by function identity; per-instance vmap
+    wrappers re-traced AND re-compiled the batched step — ~90 s each on
+    CPU, worse on-chip when a server resizes its session pool)."""
+    from live2diff_tpu.stream import multi as M
+
+    class FakeStream:  # only the attributes _programs_for touches
+        def _frame_step(self, params, state, frame, prompt):
+            return state, frame
+
+        def _warmup_denoise(self, params, state, frames, prompt):
+            return state, frames
+
+    s = FakeStream()
+    a = M.MultiStream(s, 2)
+    b = M.MultiStream(s, 2)
+    assert a._jit_step is b._jit_step
+    assert a._jit_prepare is b._jit_prepare
+    assert a._write_slot is b._write_slot
+    c = M.MultiStream(s, 3)
+    assert c._jit_step is not a._jit_step  # different S = different program
+    # cache is weak on the stream: no leak when the pipeline dies
+    import weakref
+    ref = weakref.ref(s)
+    del s, a, b, c
+    import gc
+    gc.collect()
+    assert ref() is None

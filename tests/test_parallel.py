@@ -24,9 +24,16 @@ def test_train_step_dryrun_8dev():
     assert np.isfinite(loss)
 
 
-def test_train_step_dryrun_2dev():
-    loss = train_step_dryrun(2)
-    assert np.isfinite(loss)
+def test_mesh_2dev_sharding_specs():
+    """2-device mesh factorization + shard specs, without recompiling the
+    full fwd+bwd train step (the 8-dev test already executes it; compiling
+    it twice cost ~100 s of the slow tier for no extra coverage — the
+    tp=2 regex coverage is pinned by test_tp_rules_match_real_unet_tree)."""
+    mesh = make_mesh(2)
+    assert mesh.devices.size == 2
+    x = jnp.zeros((4, 8))
+    sharded = shard_params({"attn1": {"to_q": {"kernel": x}}}, mesh)
+    assert sharded["attn1"]["to_q"]["kernel"].shape == (4, 8)
 
 
 def test_stream_step_tp_dryrun():
