@@ -292,7 +292,7 @@ class UNet3DConditionModel(nn.Module):
             has_motion = cfg.use_motion_module and res in cfg.motion_module_resolutions
             for l in range(cfg.layers_per_block):
                 sample = ResnetBlock3D(
-                    out_channels=out_ch, groups=cfg.norm_num_groups, eps=1e-6,
+                    out_channels=out_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"down_blocks_{i}_resnets_{l}",
                 )(sample, emb)
@@ -315,14 +315,14 @@ class UNet3DConditionModel(nn.Module):
         # --- mid block ---
         mid_ch = cfg.block_out_channels[-1]
         sample = ResnetBlock3D(
-            out_channels=mid_ch, groups=cfg.norm_num_groups, eps=1e-6,
+            out_channels=mid_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
             dtype=self.dtype, param_dtype=self.param_dtype, name="mid_block_resnets_0",
         )(sample, emb)
         sample = self._spatial_transformer(mid_ch, "mid_block_attentions_0")(
             sample, encoder_hidden_states
         )
         sample = ResnetBlock3D(
-            out_channels=mid_ch, groups=cfg.norm_num_groups, eps=1e-6,
+            out_channels=mid_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
             dtype=self.dtype, param_dtype=self.param_dtype, name="mid_block_resnets_1",
         )(sample, emb)
 
@@ -336,7 +336,7 @@ class UNet3DConditionModel(nn.Module):
                 skip = res_stack.pop()
                 sample = jnp.concatenate([sample, skip], axis=-1)
                 sample = ResnetBlock3D(
-                    out_channels=out_ch, groups=cfg.norm_num_groups, eps=1e-6,
+                    out_channels=out_ch, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"up_blocks_{i}_resnets_{l}",
                 )(sample, emb)
