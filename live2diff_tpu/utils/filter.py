@@ -1,9 +1,14 @@
 """Similar-image filter: probabilistically skip near-duplicate frames.
 
 Behavioural parity with the reference's ``SimilarImageFilter``
-(/root/reference/live2diff/image_filter.py:7-45): cosine similarity between
-consecutive frames; above the threshold, skip with probability
-(sim - threshold) / (1 - threshold), hard-capped at ``max_skip_frame``
+(/root/reference/live2diff/image_filter.py:7-45), verified decision-for-
+decision against the reference class in tests/test_ref_filter.py: cosine
+similarity between consecutive frames maps to a skip probability
+``max(0, 1 - (1 - sim) / (1 - threshold))``; a skipped frame does NOT
+update the reference frame. Two reference quirks are preserved because
+they are observable behavior: the skip budget resets only when the
+``max_skip_frame`` cap forces a frame through (a natural pass leaves the
+counter untouched), and the cap itself admits ``max_skip_frame + 1``
 consecutive skips. Host-side numpy — this runs before device dispatch.
 """
 
@@ -34,13 +39,19 @@ class SimilarImageFilter:
         if self.prev_frame is None:
             self.prev_frame = x
             return frame
-        denom = np.linalg.norm(x) * np.linalg.norm(self.prev_frame)
+        denom = float(np.linalg.norm(x) * np.linalg.norm(self.prev_frame))
         sim = float(x @ self.prev_frame / denom) if denom > 0 else 1.0
-        if sim >= self.threshold and self.skip_count < self.max_skip_frame:
-            skip_prob = (sim - self.threshold) / (1.0 - self.threshold)
-            if self._rng.uniform() < skip_prob:
-                self.skip_count += 1
-                return None
-        self.prev_frame = x
-        self.skip_count = 0
-        return frame
+        sample = float(self._rng.uniform())
+        if self.threshold >= 1:
+            skip_prob = 0.0
+        else:
+            skip_prob = max(0.0, 1.0 - (1.0 - sim) / (1.0 - self.threshold))
+        if skip_prob < sample:  # pass: new reference frame, budget untouched
+            self.prev_frame = x
+            return frame
+        if self.skip_count > self.max_skip_frame:  # cap: force through, reset budget
+            self.skip_count = 0
+            self.prev_frame = x
+            return frame
+        self.skip_count += 1
+        return None
