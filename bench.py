@@ -25,7 +25,13 @@ window. p50 and the serving-path window are secondary fields.
 
 Defaults run the production serving settings (int8 KV-cache + int8-QK
 flash); their end-to-end accuracy cost vs bf16-exact settings is measured
-by --psnr-check (default on) and attached as psnr_int8_vs_bf16.
+by --psnr-check (default on) and attached as psnr_int8_vs_bf16. Caveat:
+the check runs with the same random weights as the timing (no checkpoints
+here), so the motion modules' output share — and hence the int8-KV
+contribution to the delta — may be smaller than with trained weights;
+treat the number as a lower bound on noise, not an upper bound, and rerun
+tools/parity.py --kv-cache int8 when real weights are available
+(docs/PARITY.md).
 
 Weights are randomly initialised (no checkpoints in this environment);
 FLOPs, memory traffic, and graph structure are identical to the real

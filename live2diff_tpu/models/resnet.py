@@ -189,8 +189,17 @@ class Upsample3D(nn.Module):
     def __call__(self, x: jnp.ndarray, output_size: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
         b, f, h, w, c = x.shape
         th, tw = output_size if output_size is not None else (h * 2, w * 2)
-        # nearest upsample = repeat along H and W (exact for integer factors)
-        x = jnp.repeat(jnp.repeat(x, th // h, axis=2), tw // w, axis=3)
+        if th % h == 0 and tw % w == 0:
+            # nearest upsample = repeat along H and W (exact, integer factor)
+            x = jnp.repeat(jnp.repeat(x, th // h, axis=2), tw // w, axis=3)
+        else:
+            # odd skip dims (resolution not divisible by 64): legacy-nearest
+            # indexing src = floor(dst * in/out), matching the reference's
+            # F.interpolate(mode="nearest") upsample_size path
+            # (unet_depth_streaming.py:588-591, resnet.py Upsample3D)
+            rows = jnp.floor(jnp.arange(th) * (h / th)).astype(jnp.int32)
+            cols = jnp.floor(jnp.arange(tw) * (w / tw)).astype(jnp.int32)
+            x = x[:, :, rows][:, :, :, cols]
         return InflatedConv(
             self.features, dtype=self.dtype, param_dtype=self.param_dtype, name="conv"
         )(x)

@@ -101,11 +101,20 @@ class UNetConfig:
         the multi-GB cache. The kernel separates heads internally with a
         block-diagonal mask matmul.
         """
+        # per-level spatial dims follow the UNet's stride-2 SAME convs
+        # (ceil-halving), NOT integer division by 2**level — they differ once
+        # an intermediate dim is odd (any resolution not divisible by 64)
+        dims = {1: (latent_height, latent_width)}
+        res = 1
+        for _ in range(len(self.block_out_channels) - 1):
+            h, w = dims[res]
+            res *= 2
+            dims[res] = (-(-h // 2), -(-w // 2))
         shapes = []
         for channels, res in self.motion_module_layout():
-            hw = (latent_height // res) * (latent_width // res)
+            h, w = dims[res]
             for _ in range(self.caches_per_module):
-                shapes.append((num_steps, 2, self.window_size, channels, hw))
+                shapes.append((num_steps, 2, self.window_size, channels, h * w))
         return tuple(shapes)
 
     def init_caches(
@@ -349,10 +358,13 @@ class UNet3DConditionModel(nn.Module):
                         sample, self._motion_module(out_ch, f"up_blocks_{i}_motion_modules_{l}")
                     )
             if i < len(cfg.up_block_types) - 1:
+                # upsample to the NEXT skip's spatial dims (differs from 2x
+                # when an intermediate dim is odd; ref forward_upsample_size,
+                # unet_depth_streaming.py:588-591)
                 sample = Upsample3D(
                     out_ch, dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"up_blocks_{i}_upsamplers_0",
-                )(sample)
+                )(sample, output_size=res_stack[-1].shape[2:4])
 
         assert cache_cursor == len(new_caches), (
             f"cache threading mismatch: used {cache_cursor} of {len(new_caches)}"

@@ -274,8 +274,10 @@ def dot_product_attention(
         and q.ndim == 4
         and q.shape[-3] == k.shape[-3]
         and k.shape[-3] >= _FLASH_MIN_SEQ
-        and q.shape[-3] % 512 == 0
-        and k.shape[-3] % 1024 == 0
+        # lane-aligned S: the flash variants pick divisor-aligned block sizes
+        # (pick_block), so any 128-multiple sequence length is tileable
+        and q.shape[-3] % 128 == 0
+        and k.shape[-3] % 128 == 0
     ):
         from .flash_attention import (
             flash_self_attention,

@@ -123,6 +123,22 @@ def _flash_kernel_dmajor(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
+def pick_block(s: int, target: int, align: int = 128) -> int:
+    """Largest block ≤ ``target`` that divides ``s`` and is lane-aligned.
+
+    The spatial sequence length is resolution-dependent (512x512 -> 4096,
+    768x512 -> 6144, ...); a fixed block size does not divide every
+    resolution's S (6144 % 4096 != 0 was a live 768x512 failure). Callers
+    guarantee ``s % align == 0`` via the dispatch gate (attention.py).
+    """
+    if s <= target:
+        return s
+    b = target - target % align
+    while b > align and s % b:
+        b -= align
+    return b
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def flash_self_attention_dmajor(
     q: jnp.ndarray,
@@ -135,8 +151,8 @@ def flash_self_attention_dmajor(
     """Unmasked SDPA, ``[B, H, S, D]`` in/out, D-major tiles internally."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q = pick_block(sq, block_q)
+    block_k = pick_block(sk, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
     kv_steps = sk // block_k
 
@@ -242,9 +258,10 @@ def flash_self_attention_int8(
     bf16 rounding the rest of the pipeline already carries."""
     b, h, sq_len, d = q.shape
     sk_len = k.shape[2]
-    block_q = min(block_q, sq_len)
-    block_k = min(block_k, sk_len)
-    assert sq_len % block_q == 0 and sk_len % block_k == 0
+    block_q = pick_block(sq_len, block_q)
+    block_k = pick_block(sk_len, block_k)
+    assert sq_len % block_q == 0 and sk_len % block_k == 0, (
+        sq_len, sk_len, block_q, block_k)
     kv_steps = sk_len // block_k
 
     qt, kt, vt = (jnp.swapaxes(x, 2, 3) for x in (q, k, v))  # [B, H, D, S]
@@ -311,8 +328,8 @@ def flash_self_attention(
     """Unmasked scaled-dot-product attention, ``[B, H, S, D]`` in and out."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q = pick_block(sq, block_q)
+    block_k = pick_block(sk, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
     kv_steps = sk // block_k
 
