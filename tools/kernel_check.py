@@ -83,6 +83,22 @@ def run_all(quick: bool = False) -> dict:
            flash_self_attention_int8(q, k_, v, scale=scale, block_k=min(s, 4096)),
            want, INT8_TOL, results)
 
+    if not quick:
+        # 768x512's level-0 sequence (S=6144): exercises the non-default
+        # divisor blocks (pick_block -> q512/k3072) that a fixed 4096 block
+        # could not tile (see ops/flash_attention.py pick_block)
+        s2 = 6144
+        q2, k2, v2 = rand(2, h, s2, d), rand(2, h, s2, d), rand(2, h, s2, d)
+        want2 = np.asarray(jax.jit(sdpa_ref)(q2, k2, v2), np.float32)
+        _check("flash_dmajor_6144",
+               flash_self_attention_dmajor(q2, k2, v2, scale=scale,
+                                           block_k=min(s2, 4096)),
+               want2, EXACT_TOL, results)
+        _check("flash_int8_6144",
+               flash_self_attention_int8(q2, k2, v2, scale=scale,
+                                         block_k=min(s2, 4096)),
+               want2, INT8_TOL, results)
+
     # ---- streaming temporal attention (THE kernel): bf16 + int8 cache -----
     # production shapes: steps=2, window=16, heads=8; [C=320, HW=4096] is the
     # largest cache layer, [C=1280, HW=256] the deepest
