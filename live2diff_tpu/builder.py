@@ -38,23 +38,61 @@ from .stream.pipeline import StreamConfig, StreamDiffusionDepth
 from .stream.state_machine import init_window_state, mask_to_bias
 
 
-def _random_params_like(shapes_tree, seed: int = 0, scale: float = 0.02):
-    """Random-normal params matching an eval_shape tree.
+# shared random pools for placeholder-weight generation, keyed by dtype.
+# 16M elements: bigger than almost every leaf, ~0.3 s to fill once.
+_POOL_SIZE = 1 << 24
+_NORMAL_POOLS: Dict[Any, np.ndarray] = {}
 
-    Host-side numpy on purpose: per-leaf ``jax.random.normal`` triggers one
-    XLA compile per distinct shape (~170 compiles, ~90 s per build measured);
-    numpy generation + a single device_put-per-leaf has zero compiles.
+
+def _normal_pool(dtype) -> np.ndarray:
+    key = np.dtype(dtype)
+    pool = _NORMAL_POOLS.get(key)
+    if pool is None:
+        base = _NORMAL_POOLS.get(np.dtype(np.float32))
+        if base is None:
+            base = np.random.default_rng(1234).standard_normal(
+                _POOL_SIZE, dtype=np.float32
+            )
+            _NORMAL_POOLS[np.dtype(np.float32)] = base
+        pool = base if key == np.dtype(np.float32) else base.astype(key)
+        _NORMAL_POOLS[key] = pool
+    return pool
+
+
+def _random_params_like(shapes_tree, seed: int = 0, scale: float = 0.02):
+    """Random-normal PLACEHOLDER params matching an eval_shape tree.
+
+    These stand in for absent checkpoints (benchmarks / integration tests);
+    only shapes, dtypes, and rough magnitude matter. Three deliberate
+    speed choices (cold start: this was 50 s of an 80 s build on one core):
+
+    - host-side numpy, not ``jax.random``: per-leaf device RNG triggers one
+      XLA compile per distinct shape (~170 compiles, ~90 s measured);
+    - leaves are offset views into one shared 16M-element normal pool
+      (tiled when a leaf is larger) instead of freshly drawn: fresh
+      ``standard_normal`` + per-leaf bf16 casts cost ~34 s for ~700M params;
+      the pool is cast once per dtype. Offsets are seed-deterministic, so
+      equal seeds still give equal weights (the int8-vs-bf16 PSNR check
+      relies on that);
+    - ONE batched ``jax.device_put`` for the whole tree, not per leaf
+      (1716 transfer round-trips cost ~13 s).
     """
     leaves, treedef = jax.tree_util.tree_flatten(shapes_tree)
     rng = np.random.default_rng(seed)
-    out = [
-        jax.device_put(
-            (rng.standard_normal(l.shape, dtype=np.float32) * scale).astype(
-                np.dtype(l.dtype)
-            )
-        )
-        for l in leaves
-    ]
+    host = []
+    for l in leaves:
+        dt = np.dtype(l.dtype)
+        pool = _normal_pool(dt)
+        n = max(int(np.prod(l.shape)), 1)
+        start = int(rng.integers(0, _POOL_SIZE))
+        if start + n <= pool.size:
+            flat = pool[start : start + n]
+        else:
+            reps = -(-(start + n) // pool.size)  # ceil
+            flat = np.tile(pool, reps)[start : start + n]
+        arr = (flat.astype(np.float32) * scale).astype(dt) if scale != 1.0 else flat
+        host.append(arr.reshape(l.shape))
+    out = jax.device_put(host)
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

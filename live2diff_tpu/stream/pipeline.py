@@ -34,6 +34,30 @@ from .state import StreamState
 from .state_machine import init_window_state, mask_to_bias, update_window_state
 
 
+def _restore_formats(tree, canonical_formats):
+    """Force every array leaf of ``tree`` back into its canonical layout.
+
+    The compile service chooses executable output layouts nondeterministically
+    (a fresh compile and a cache-deserialize of the same program can disagree).
+    The warmup program's output state is the frame-step program's input, and
+    jit bakes input layouts into the module, so a drifted layout here changes
+    ``_frame_step``'s persistent-cache key — one step's layout drift poisons
+    the next run's warm start. Canonical = the layouts ``init_state`` produces
+    (always-fresh sub-second compiles, deterministic per platform version).
+    ``jax.device_put`` with an explicit Format relayouts on-device (verified
+    honored on this backend); leaves already in canonical layout pass through
+    untouched."""
+
+    def fix(leaf, fmt):
+        if fmt is None or not hasattr(leaf, "format"):
+            return leaf
+        if leaf.format == fmt:
+            return leaf
+        return jax.device_put(leaf, fmt)
+
+    return jax.tree.map(fix, tree, canonical_formats)
+
+
 @dataclasses.dataclass
 class StreamConfig:
     height: int = 512
@@ -141,12 +165,24 @@ class StreamDiffusionDepth:
         )
 
     def set_prompt(self, prompt_embeds: jnp.ndarray) -> None:
-        """[77, 768] or [1, 77, 768] text embedding; broadcast to the batch."""
+        """[77, 768] or [1, 77, 768] text embedding; broadcast to the batch.
+
+        The embedding is round-tripped through HOST memory deliberately: it
+        usually arrives as the output of the compiled text-encoder program,
+        and this platform's compile service picks executable OUTPUT layouts
+        nondeterministically (fresh compile vs cache-deserialize can differ).
+        jit bakes argument layouts into the lowered module, so feeding a
+        variable-layout array into ``_frame_step``/``_warmup_denoise`` gives
+        the big programs a different persistent-cache key on every run —
+        measured root cause of the round-2 "warm cache never hits" cold
+        starts. A host round-trip costs ~1 ms for [n, 77, 768] and pins the
+        canonical host layout."""
         if prompt_embeds.ndim == 2:
             prompt_embeds = prompt_embeds[None]
-        self._prompt_embeds = jnp.broadcast_to(
-            prompt_embeds, (self.num_steps, *prompt_embeds.shape[1:])
+        embeds = np.broadcast_to(
+            np.asarray(prompt_embeds), (self.num_steps, *prompt_embeds.shape[1:])
         )
+        self._prompt_embeds = jnp.asarray(embeds)
 
     # ------------------------------------------------------------------
     # latent codecs (traced into both compiled programs)
@@ -357,9 +393,11 @@ class StreamDiffusionDepth:
         """warmup_frames: [8, H, W, 3] float32 in [-1, 1]."""
         self.set_prompt(prompt_embeds)
         state = self.init_state(seed)
+        canonical = jax.tree.map(lambda leaf: getattr(leaf, "format", None), state)
         state, out = self._jit_prepare(
             self.params, state, jnp.asarray(warmup_frames), self._prompt_embeds
         )
+        state = _restore_formats(state, canonical)
         return state, np.asarray(out)
 
     def __call__(
