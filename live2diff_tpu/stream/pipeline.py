@@ -21,6 +21,7 @@ frame costs exactly one UNet call; outputs lag input by n-1 frames.
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
@@ -55,7 +56,12 @@ def _restore_formats(tree, canonical_formats):
             return leaf
         return jax.device_put(leaf, fmt)
 
-    return jax.tree.map(fix, tree, canonical_formats)
+    # canonical_formats is a flat list (tree_flatten order) so None
+    # placeholders for non-Array leaves stay leaves instead of becoming
+    # empty subtrees under tree.map
+    leaves, treedef = jax.tree.flatten(tree)
+    fixed = [fix(leaf, fmt) for leaf, fmt in zip(leaves, canonical_formats)]
+    return jax.tree.unflatten(treedef, fixed)
 
 
 @dataclasses.dataclass
@@ -393,12 +399,33 @@ class StreamDiffusionDepth:
         """warmup_frames: [8, H, W, 3] float32 in [-1, 1]."""
         self.set_prompt(prompt_embeds)
         state = self.init_state(seed)
-        canonical = jax.tree.map(lambda leaf: getattr(leaf, "format", None), state)
+        canonical = [getattr(leaf, "format", None)
+                     for leaf in jax.tree.leaves(state)]
         state, out = self._jit_prepare(
             self.params, state, jnp.asarray(warmup_frames), self._prompt_embeds
         )
         state = _restore_formats(state, canonical)
         return state, np.asarray(out)
+
+    def warm_frame_step(self, frame_dtype=jnp.float32) -> float:
+        """Compile + execute one dummy frame step; returns wall seconds.
+
+        The reference pre-warms its engines with dummy runs inside prepare
+        (pipeline_stream_animation_depth.py:346-366); without this the first
+        user frame pays the full XLA compile (~2 min over a tunneled chip).
+        A throwaway ``init_state()`` is stepped and discarded: fresh init
+        states carry the canonical layouts (_restore_formats' target), so
+        the compiled program is exactly the one real frames will hit, and
+        donation consumes only the throwaway buffers.
+        """
+        if self._prompt_embeds is None:
+            raise RuntimeError("set_prompt()/prepare() before warm_frame_step()")
+        t0 = time.perf_counter()
+        dummy_state = self.init_state(seed=0)
+        dummy = jnp.zeros((self.cfg.height, self.cfg.width, 3), frame_dtype)
+        out = self._jit_step(self.params, dummy_state, dummy, self._prompt_embeds)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
 
     def __call__(
         self, state: StreamState, frame: np.ndarray

@@ -39,8 +39,11 @@ class SimilarImageFilter:
         if self.prev_frame is None:
             self.prev_frame = x
             return frame
-        denom = float(np.linalg.norm(x) * np.linalg.norm(self.prev_frame))
-        sim = float(x @ self.prev_frame / denom) if denom > 0 else 1.0
+        # torch CosineSimilarity(eps=1e-6) clamps each norm, so an all-zero
+        # frame yields sim ~0 (guaranteed pass), never a divide-by-zero
+        denom = max(float(np.linalg.norm(x)), 1e-6) * max(
+            float(np.linalg.norm(self.prev_frame)), 1e-6)
+        sim = float(x @ self.prev_frame / denom)
         sample = float(self._rng.uniform())
         if self.threshold >= 1:
             skip_prob = 0.0

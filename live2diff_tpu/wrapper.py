@@ -120,6 +120,7 @@ class StreamV2VWrapper:
         self._prev_output = None
         self.inference_time_ema = 0.0
         self.inference_time_list: List[float] = []
+        self.first_step_warm_s = 0.0
 
     # ------------------------------------------------------------------
 
@@ -130,18 +131,30 @@ class StreamV2VWrapper:
         ) else f"{self.built.prompt_template} {prompt}"
         return encode_prompt_for_pipeline(self.built, text)
 
-    def prepare(self, prompt: str, warmup_frames: np.ndarray) -> np.ndarray:
-        """warmup_frames: [8, H, W, 3] uint8/float or list of images."""
+    def prepare(self, prompt: str, warmup_frames: np.ndarray,
+                warm_step: bool = True) -> np.ndarray:
+        """warmup_frames: [8, H, W, 3] uint8/float or list of images.
+
+        ``warm_step`` pre-compiles and dry-runs the per-frame program (the
+        reference's warmup_engine dummy runs) so the first ``img2img`` runs
+        at steady-state latency; the time spent is recorded in
+        ``self.first_step_warm_s``.
+        """
         frames = np.stack([
             preprocess_image(f, self.height, self.width) for f in warmup_frames
         ])
         embeds = self.encode_prompt(prompt)
         self._state, out = self.stream.prepare(frames, embeds, seed=self.seed)
+        self.first_step_warm_s = (
+            self.stream.warm_frame_step() if warm_step else 0.0
+        )
         return postprocess_image(out, self.output_type)
 
     def update_prompt(self, prompt: str) -> None:
-        embeds = encode_prompt_for_pipeline(self.built, prompt)
-        self.stream.set_prompt(embeds)
+        # route through the style template exactly like prepare() — a
+        # mid-stream prompt change must not silently drop the style prefix
+        # (ref wrapper.py stream.update_prompt uses the already-templated text)
+        self.stream.set_prompt(self.encode_prompt(prompt))
 
     def img2img(self, image) -> Union[Image.Image, np.ndarray]:
         if self._state is None:

@@ -40,7 +40,10 @@ def test_pick_block_divides():
     for s, target in cases:
         b = pick_block(s, target)
         assert s % b == 0, (s, target, b)
-        assert b <= max(target, s if s <= target else 0) or b <= target
+        # contract: block never exceeds target unless s itself is smaller
+        assert b <= target or b == s, (s, target, b)
+        if s > target and s % 128 == 0:
+            assert b % 128 == 0, (s, target, b)
     # exact behaviour at the sizes the bench runs
     assert pick_block(6144, 4096) == 3072
     assert pick_block(4096, 4096) == 4096

@@ -72,3 +72,20 @@ def test_filter_decisions_match_reference(monkeypatch, threshold, max_skip):
     else:  # threshold >= 1 disables skipping entirely (skip_prob = 0)
         assert all(decisions_ref)
     assert any(d for d in decisions_ref[1:]), "test never exercised a pass"
+
+
+def test_zero_frames_match_reference(monkeypatch):
+    """All-zero frames: torch CosineSimilarity(eps=1e-6) yields sim~0, so
+    black frames must always PASS (never be skipped)."""
+    ref_mod = load_ref_filter()
+    ref = ref_mod.SimilarImageFilter(threshold=0.98, max_skip_frame=10)
+    ours = SimilarImageFilter(threshold=0.98, max_skip_frame=10)
+
+    monkeypatch.setattr(ref_mod.random, "uniform", lambda *a, **k: 0.5)
+    ours._rng = type("R", (), {"uniform": staticmethod(lambda *a, **k: 0.5)})()
+
+    zero = np.zeros((8, 8, 3), np.float32)
+    for i in range(5):
+        r = ref(torch.from_numpy(zero))
+        o = ours(zero)
+        assert (r is not None) == (o is not None) == True, i  # noqa: E712
