@@ -24,12 +24,22 @@ class CrossAttention(nn.Module):
 
     q/k/v projections carry no bias, the output projection does (diffusers
     ``Attention`` defaults, used for all spatial attention in SD-1.5).
+
+    ``cross_frame`` selects the reference's ``SparseCausalAttention``
+    behaviour (/root/reference/live2diff/animatediff/models/attention.py:
+    563-622): KEYS are taken from each video's frame 0 while VALUES stay
+    per-frame — the reference computes ``former_frame_index`` and a frame-0
+    value gather but comments both out, so frame-0-keys/own-values is the
+    observable semantics and is what we replicate. Requires ``video_length``
+    at call time; with video_length == 1 (stream mode) it degenerates to
+    ordinary self-attention.
     """
 
     query_dim: int
     heads: int = 8
     dim_head: int = 64
     cross_attention_dim: Optional[int] = None
+    cross_frame: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -39,6 +49,7 @@ class CrossAttention(nn.Module):
         hidden_states: jnp.ndarray,
         encoder_hidden_states: Optional[jnp.ndarray] = None,
         bias: Optional[jnp.ndarray] = None,
+        video_length: Optional[int] = None,
     ) -> jnp.ndarray:
         inner = self.heads * self.dim_head
         dense = lambda feats, name, use_bias: nn.Dense(  # noqa: E731
@@ -49,6 +60,14 @@ class CrossAttention(nn.Module):
         q = dense(inner, "to_q", False)(hidden_states)
         k = dense(inner, "to_k", False)(ctx)
         v = dense(inner, "to_v", False)(ctx)
+
+        if self.cross_frame:
+            if video_length is None:
+                raise ValueError("cross_frame attention requires video_length")
+            if video_length > 1:
+                bf, d, c = k.shape
+                k = k.reshape(bf // video_length, video_length, d, c)
+                k = jnp.broadcast_to(k[:, :1], k.shape).reshape(bf, d, c)
 
         def split_heads(x):
             return x.reshape(*x.shape[:-1], self.heads, self.dim_head)
@@ -65,12 +84,14 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     cross_attention_dim: int = 768
+    cross_frame_attention: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, hidden_states: jnp.ndarray, encoder_hidden_states: jnp.ndarray
+        self, hidden_states: jnp.ndarray, encoder_hidden_states: jnp.ndarray,
+        video_length: Optional[int] = None,
     ) -> jnp.ndarray:
         from .layers import GEGLUFeedForward
 
@@ -83,8 +104,9 @@ class BasicTransformerBlock(nn.Module):
         h = ln("norm1")(hidden_states)
         hidden_states = hidden_states + CrossAttention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            cross_frame=self.cross_frame_attention,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn1",
-        )(h)
+        )(h, video_length=video_length)
 
         h = ln("norm2")(hidden_states)
         hidden_states = hidden_states + CrossAttention(
@@ -112,6 +134,7 @@ class Transformer3DModel(nn.Module):
     dim_head: int
     num_layers: int = 1
     cross_attention_dim: int = 768
+    cross_frame_attention: bool = False
     norm_num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -141,9 +164,10 @@ class Transformer3DModel(nn.Module):
             x = BasicTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 cross_attention_dim=self.cross_attention_dim,
+                cross_frame_attention=self.cross_frame_attention,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"transformer_blocks_{i}",
-            )(x, ctx)
+            )(x, ctx, video_length=f)
 
         x = x.reshape(b * f, height, width, inner)
         x = nn.Conv(

@@ -63,6 +63,9 @@ class UNetConfig:
     motion_pe_max_len: int = 24
     window_size: int = 16
     sink_size: int = 8
+    # SparseCausalAttention (ref attention.py:563-622): spatial self-attn
+    # keys from frame 0 (values per-frame). Off in every shipped ref config.
+    unet_use_cross_frame_attention: bool = False
 
     @property
     def caches_per_module(self) -> int:
@@ -147,7 +150,6 @@ class UNetConfig:
         "temporal_position_encoding": (True,),
         "zero_initialize": (True,),               # proj_out zero-init is built in
         "attention_class_name": ("stream", "versatile"),
-        "unet_use_cross_frame_attention": (False,),  # SparseCausalAttention: off
     }
 
     @classmethod
@@ -162,11 +164,7 @@ class UNetConfig:
         for k, allowed in cls._FIXED_KEYS.items():
             if k in d and d[k] not in allowed:
                 raise ValueError(
-                    f"{section}.{k}={d[k]!r} is unsupported (supported: {allowed}). "
-                    + ("SparseCausalAttention (ref attention.py:563) is defined but "
-                       "disabled in every shipped reference config; it is not "
-                       "implemented here." if k == "unet_use_cross_frame_attention"
-                       else "")
+                    f"{section}.{k}={d[k]!r} is unsupported (supported: {allowed})."
                 )
 
     @classmethod
@@ -175,8 +173,7 @@ class UNetConfig:
 
         Unknown keys raise (a typo'd config must fail loudly, not silently
         drop the option); recognised-but-fixed keys raise only when set to a
-        value this framework does not implement — notably
-        ``unet_use_cross_frame_attention: true``.
+        value this framework does not implement.
         """
         ua = cfg.get("unet_additional_kwargs", cfg) or {}
         mm = ua.get("motion_module_kwargs", {}) or {}
@@ -184,7 +181,7 @@ class UNetConfig:
         if "unet_additional_kwargs" in cfg:  # reference-shaped config: validate
             cls._check_keys("unet_additional_kwargs", ua, {
                 "cond_mapping", "use_motion_module", "motion_module_resolutions",
-                "motion_module_kwargs",
+                "motion_module_kwargs", "unet_use_cross_frame_attention",
             })
             cls._check_keys("motion_module_kwargs", mm, {
                 "num_attention_heads", "num_transformer_block",
@@ -204,6 +201,9 @@ class UNetConfig:
             motion_pe_max_len=mm.get("temporal_position_encoding_max_len", 24),
             window_size=ak.get("window_size", 16),
             sink_size=ak.get("sink_size", 8),
+            unet_use_cross_frame_attention=bool(
+                ua.get("unet_use_cross_frame_attention") or False
+            ),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -237,6 +237,7 @@ class UNet3DConditionModel(nn.Module):
             heads=cfg.attention_head_dim,
             dim_head=channels // cfg.attention_head_dim,
             cross_attention_dim=cfg.cross_attention_dim,
+            cross_frame_attention=cfg.unet_use_cross_frame_attention,
             norm_num_groups=cfg.norm_num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -182,11 +182,14 @@ def test_unknown_attention_key_fails():
         UNetConfig.from_reference_config({"unet_additional_kwargs": ua})
 
 
-def test_cross_frame_attention_true_is_explicit_unsupported():
-    import pytest
-
-    with pytest.raises(ValueError, match="SparseCausalAttention"):
-        UNetConfig.from_reference_config(_ref_cfg(unet_use_cross_frame_attention=True))
+def test_cross_frame_attention_config_roundtrip():
+    """unet_use_cross_frame_attention: true selects SparseCausalAttention."""
+    cfg = UNetConfig.from_reference_config(
+        _ref_cfg(unet_use_cross_frame_attention=True)
+    )
+    assert cfg.unet_use_cross_frame_attention is True
+    cfg_off = UNetConfig.from_reference_config(_ref_cfg())
+    assert cfg_off.unet_use_cross_frame_attention is False
 
 
 def test_unsupported_fixed_value_fails():

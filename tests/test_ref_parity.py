@@ -296,3 +296,160 @@ def test_stream_parity_through_eviction(ref_models, our_unet, warmup_run):
         rc = rc.numpy().transpose(0, 1, 3, 4, 2)
         err = rel_err(np.asarray(jc), rc)
         assert err < 2e-4, f"post-stream cache {i}: rel err {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# SparseCausalAttention (unet_use_cross_frame_attention: true)
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_causal_attention_class_parity():
+    """Our cross_frame CrossAttention vs the reference SparseCausalAttention
+    (attention.py:563-622) with shared weights: keys from frame 0, values
+    per-frame (the reference's frame-0 value gather is commented out)."""
+    from live2diff_tpu.models.attention import CrossAttention
+
+    mods = load_reference_models()
+    torch.manual_seed(3)
+    dim, heads, dim_head, f, b, d = 32, 2, 16, 4, 2, 12
+    ref = mods["attention"].SparseCausalAttention(
+        query_dim=dim, heads=heads, dim_head=dim_head
+    )
+    ref.eval()
+
+    x = np.random.RandomState(5).randn(b * f, d, dim).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), video_length=f).numpy()
+
+    ours = CrossAttention(
+        query_dim=dim, heads=heads, dim_head=dim_head, cross_frame=True,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = {"params": {
+        "to_q": {"kernel": jnp.asarray(ref.to_q.weight.detach().numpy().T)},
+        "to_k": {"kernel": jnp.asarray(ref.to_k.weight.detach().numpy().T)},
+        "to_v": {"kernel": jnp.asarray(ref.to_v.weight.detach().numpy().T)},
+        "to_out_0": {
+            "kernel": jnp.asarray(ref.to_out[0].weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.to_out[0].bias.detach().numpy()),
+        },
+    }}
+    j_out = np.asarray(ours.apply(params, jnp.asarray(x), video_length=f))
+    err = rel_err(j_out, ref_out)
+    assert err < 1e-5, f"sparse-causal attention rel err {err:.2e}"
+
+    # sanity: the frame-0-keys semantics actually bites (frames 1.. differ
+    # from plain self-attention)
+    plain = CrossAttention(
+        query_dim=dim, heads=heads, dim_head=dim_head, cross_frame=False,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    p_out = np.asarray(plain.apply(params, jnp.asarray(x)))
+    assert not np.allclose(j_out[1:f], p_out[1:f], atol=1e-4)
+    np.testing.assert_allclose(j_out[0], p_out[0], rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_models_cf():
+    """Reference UNets built with unet_use_cross_frame_attention=True."""
+    mods = load_reference_models()
+    torch.manual_seed(1)
+    kw = dict(BASE_KW, unet_use_cross_frame_attention=True)
+    us = mods["unet_depth_streaming"].UNet3DConditionStreamingModel(
+        **kw,
+        motion_module_type="Streaming",
+        motion_module_kwargs={
+            **MM_KW,
+            "attention_class_name": "stream",
+            "attention_kwargs": dict(window_size=WINDOW, sink_size=SINK),
+        },
+    )
+    uw = mods["unet_depth_warmup"].UNet3DConditionWarmupModel(
+        **kw,
+        motion_module_type="Vanilla",
+        motion_module_kwargs={**MM_KW, "attention_class_name": "versatile",
+                              "attention_kwargs": {}},
+    )
+    with torch.no_grad():
+        for name, p in us.named_parameters():
+            if "proj_out" in name and "motion_modules" in name:
+                p.add_(0.02 * torch.randn_like(p))
+    missing, unexpected = uw.load_state_dict(us.state_dict(), strict=False)
+    assert not missing and not unexpected
+    us.eval(), uw.eval()
+    us.set_info_for_attn(H, W)
+    uw.set_info_for_attn(H, W)
+    return us, uw
+
+
+def test_cross_frame_unet_warmup_and_stream_parity(ref_models_cf):
+    """Full-UNet parity with SparseCausalAttention enabled: one warmup step
+    (video_length=SINK exercises the frame-0-keys path) and one stream
+    frame (video_length=1, degenerate)."""
+    us, uw = ref_models_cf
+    sd = {k: v.detach().numpy() for k, v in us.state_dict().items()}
+    params, skipped = unet_torch_to_flax(sd)
+    assert all(k.endswith("pos_encoder.pe") for k in skipped), skipped
+    cfg = UNetConfig(
+        block_out_channels=CH,
+        attention_head_dim=2,
+        cross_attention_dim=CROSS_DIM,
+        norm_num_groups=32,
+        motion_num_attention_heads=2,
+        motion_pe_max_len=PE_MAX,
+        window_size=WINDOW,
+        sink_size=SINK,
+        unet_use_cross_frame_attention=True,
+    )
+    unet = UNet3DConditionModel(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+
+    ref_caches = us.prepare_cache(STEPS)
+    j_caches = cfg.init_caches(H, W, STEPS, dtype=jnp.float32)
+
+    # warmup step 0
+    x = rng.randn(1, 4, SINK, H, W).astype(np.float32)
+    d = rng.randn(1, 4, SINK, H, W).astype(np.float32)
+    prompt = rng.randn(1, PROMPT_LEN, CROSS_DIM).astype(np.float32)
+    with torch.no_grad():
+        ref_out = uw(
+            torch.from_numpy(x), torch.tensor([TIMESTEPS[0]]),
+            temporal_attention_mask=None,
+            depth_sample=torch.from_numpy(d),
+            encoder_hidden_states=torch.from_numpy(prompt),
+            kv_cache=[c[0] for c in ref_caches],
+            return_dict=True,
+        )["sample"].numpy()
+    j_out, j_caches = unet.apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+        jnp.asarray([TIMESTEPS[0]], jnp.int32), jnp.asarray(prompt),
+        jnp.asarray(d.transpose(0, 2, 3, 4, 1)), j_caches,
+        "warmup", None, None, None, 0,
+    )
+    err = rel_err(np.asarray(j_out).transpose(0, 4, 1, 2, 3), ref_out)
+    assert err < 2e-4, f"cross-frame warmup: rel err {err:.2e}"
+
+    # one stream frame
+    attn_bias, pe_idx, update_idx = ref_init_attn_bias()
+    j_mask, j_pe, j_upd = init_window_state(STEPS, WINDOW, SINK)
+    x = rng.randn(STEPS, 4, 1, H, W).astype(np.float32)
+    d = rng.randn(STEPS, 4, 1, H, W).astype(np.float32)
+    prompt2 = np.repeat(prompt, STEPS, axis=0)
+    t = np.asarray(TIMESTEPS, np.int64)
+    with torch.no_grad():
+        ref_out = us(
+            torch.from_numpy(x), torch.from_numpy(t),
+            encoder_hidden_states=torch.from_numpy(prompt2),
+            temporal_attention_mask=attn_bias,
+            depth_sample=torch.from_numpy(d),
+            kv_cache=ref_caches, pe_idx=pe_idx, update_idx=update_idx,
+            return_dict=True,
+        )["sample"].numpy()
+    j_out, j_caches = unet.apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(t, jnp.int32), jnp.asarray(prompt2),
+        jnp.asarray(d.transpose(0, 2, 3, 4, 1)), j_caches,
+        "stream", mask_to_bias(j_mask, dtype=jnp.float32), j_pe, j_upd,
+    )
+    err = rel_err(np.asarray(j_out).transpose(0, 4, 1, 2, 3), ref_out)
+    assert err < 2e-4, f"cross-frame stream: rel err {err:.2e}"
