@@ -66,7 +66,6 @@ def _kernel(x_ref, g_ref, b_ref, o_ref, *, groups, eps, act):
     xf = x.astype(jnp.float32)
 
     s = jnp.sum(xf, axis=0, keepdims=True)  # [1, C]
-    ss = jnp.sum(xf * xf, axis=0, keepdims=True)
 
     # fold channels into groups with a one-hot matmul (MXU), then broadcast
     # the per-group stats back to channels the same way
@@ -76,16 +75,20 @@ def _kernel(x_ref, g_ref, b_ref, o_ref, *, groups, eps, act):
 
     n = jnp.float32(t * cg)
     mean_g = jax.lax.dot_general(s, m, (((1,), (0,)), ((), ()))) / n  # [1, G]
-    ms_g = jax.lax.dot_general(ss, m, (((1,), (0,)), ((), ()))) / n
-    var_g = ms_g - mean_g * mean_g
-    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jax.lax.dot_general(mean_g, m, (((1,), (1,)), ((), ())))  # [1, C]
 
+    # two-pass (centered) variance: E[x^2]-mean^2 cancels catastrophically
+    # in fp32 when |mean| >> std (bit us at small groups, e.g. the 1x1-
+    # spatial mid block where a group is 2 values); x is already in VMEM so
+    # the second pass is cheap
+    xc = xf - mean_c
+    ssc = jnp.sum(xc * xc, axis=0, keepdims=True)  # [1, C]
+    var_g = jax.lax.dot_general(ssc, m, (((1,), (0,)), ((), ()))) / n
+    inv_g = jax.lax.rsqrt(var_g + eps)
     inv_c = jax.lax.dot_general(inv_g, m, (((1,), (1,)), ((), ())))  # [1, C]
-    mean_c = jax.lax.dot_general(mean_g, m, (((1,), (1,)), ((), ())))
 
     scale = inv_c * g_ref[0].astype(jnp.float32)  # [1, C]
-    shift = b_ref[0].astype(jnp.float32) - mean_c * scale
-    y = xf * scale + shift
+    y = xc * scale + b_ref[0].astype(jnp.float32)
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
     elif act == "relu":
@@ -141,17 +144,15 @@ def group_norm_act(
         return _group_norm_kernel(x, gamma, beta, groups, eps, act)
 
     xf = x.astype(jnp.float32)
-    s = xf.sum(axis=1)  # [B, C]
-    ss = (xf * xf).sum(axis=1)
     cg = c // groups
-    n = t * cg
-    sg = s.reshape(b, groups, cg).sum(-1) / n
-    ssg = ss.reshape(b, groups, cg).sum(-1) / n
-    var = ssg - sg * sg
+    # two-pass (centered) variance — see the kernel comment above
+    mean_g = xf.reshape(b, t, groups, cg).mean(axis=(1, 3))  # [B, G]
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)  # [B, C]
+    xc = xf - mean_c[:, None, :]
+    var = (xc * xc).reshape(b, t, groups, cg).mean(axis=(1, 3))
     inv = jax.lax.rsqrt(var + eps)
     scale = jnp.repeat(inv, cg, axis=-1) * gamma.astype(jnp.float32)
-    shift = beta.astype(jnp.float32) - jnp.repeat(sg, cg, axis=-1) * scale
-    y = xf * scale[:, None, :] + shift[:, None, :]
+    y = xc * scale[:, None, :] + beta.astype(jnp.float32)[None, None, :]
     if act == "silu":
         y = jax.nn.silu(y)
     elif act == "relu":
@@ -167,9 +168,10 @@ def group_norm_act(
 def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps):
     xf = x_ref[...].astype(jnp.float32)  # [bt, C]
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)  # centered: no E[x^2]-m^2
     inv = jax.lax.rsqrt(var + eps)
-    y = (xf - mean) * inv * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    y = xc * inv * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
     o_ref[...] = y.astype(o_ref.dtype)
 
 

@@ -208,12 +208,17 @@ class StreamDiffusionDepth:
         pipeline_stream_animation_depth.py:544-571).
         """
         f, H, W, _ = frames_rgb.shape
-        depth_in = jax.image.resize(frames_rgb, (f, 384, 384, 3), "bilinear")
+        # antialias=False matches the reference's F.interpolate(bilinear,
+        # align_corners=False) on the 512->384 downscale — jax's default
+        # antialias=True filters downsamples and diverges from the reference
+        depth_in = jax.image.resize(
+            frames_rgb, (f, 384, 384, 3), "bilinear", antialias=False
+        )
         depth = self.depth_fn(params["depth"], depth_in)  # [F, 384, 384]
         dmin, dmax = depth.min(), depth.max()
         depth = (depth - dmin) / (dmax - dmin + 1e-6)
         depth3 = jnp.repeat(depth[..., None], 3, axis=-1) * 2.0 - 1.0
-        return jax.image.resize(depth3, (f, H, W, 3), "bilinear")
+        return jax.image.resize(depth3, (f, H, W, 3), "bilinear", antialias=False)
 
     def _encode_depth(self, params, frames_rgb: jnp.ndarray) -> jnp.ndarray:
         """[F, H, W, 3] -> depth-conditioned latents [F, h, w, 4]."""

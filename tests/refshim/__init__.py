@@ -183,6 +183,118 @@ def install_diffusers_shim() -> None:
         def forward(self, sample):
             return self.linear_2(self.act(self.linear_1(sample)))
 
+    # -- schedulers (diffusers 0.25.0 LCMScheduler semantics) ----------------
+    # Written from the public diffusers 0.25.0 API/behaviour (the version the
+    # reference pins, setup.py:5): betas -> alphas_cumprod, the LCM
+    # inference-timestep selection of set_timesteps, and the consistency
+    # boundary scalings. Independent of live2diff_tpu.schedule on purpose —
+    # this is the torch-side oracle our numpy re-derivation is tested against.
+    class LCMScheduler:
+        def __init__(
+            self,
+            num_train_timesteps=1000,
+            beta_start=0.0001,
+            beta_end=0.02,
+            beta_schedule="linear",
+            trained_betas=None,
+            original_inference_steps=50,
+            timestep_scaling=10.0,
+            **unused_config,
+        ):
+            if trained_betas is not None:
+                self.betas = torch.tensor(trained_betas, dtype=torch.float64)
+            elif beta_schedule == "linear":
+                self.betas = torch.linspace(
+                    beta_start, beta_end, num_train_timesteps, dtype=torch.float64
+                )
+            elif beta_schedule == "scaled_linear":
+                self.betas = (
+                    torch.linspace(
+                        beta_start**0.5, beta_end**0.5, num_train_timesteps,
+                        dtype=torch.float64,
+                    )
+                    ** 2
+                )
+            else:
+                raise NotImplementedError(f"shim LCMScheduler: {beta_schedule}")
+            self.alphas = 1.0 - self.betas
+            self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
+            self.num_train_timesteps = num_train_timesteps
+            self.original_inference_steps = original_inference_steps
+            self.timestep_scaling = timestep_scaling
+            self.sigma_data = 0.5
+            self.timesteps = None
+            self._cfg = dict(
+                num_train_timesteps=num_train_timesteps,
+                beta_start=beta_start,
+                beta_end=beta_end,
+                beta_schedule=beta_schedule,
+                trained_betas=trained_betas,
+                original_inference_steps=original_inference_steps,
+                timestep_scaling=timestep_scaling,
+            )
+
+        @property
+        def config(self):
+            return _Config(self._cfg)
+
+        @classmethod
+        def from_config(cls, config, **kwargs):
+            known = (
+                "num_train_timesteps", "beta_start", "beta_end", "beta_schedule",
+                "trained_betas", "original_inference_steps", "timestep_scaling",
+            )
+            cfg = {k: config[k] for k in known if k in config}
+            cfg.update(kwargs)
+            return cls(**cfg)
+
+        def set_timesteps(self, num_inference_steps, device=None, strength=1.0):
+            import numpy as _np
+
+            original_steps = self.original_inference_steps
+            k = self.num_train_timesteps // original_steps
+            lcm_origin_timesteps = (
+                _np.asarray(list(range(1, int(original_steps * strength) + 1))) * k - 1
+            )
+            lcm_origin_timesteps = lcm_origin_timesteps[::-1].copy()
+            inference_indices = _np.linspace(
+                0, len(lcm_origin_timesteps), num=num_inference_steps, endpoint=False
+            )
+            inference_indices = _np.floor(inference_indices).astype(_np.int64)
+            timesteps = lcm_origin_timesteps[inference_indices]
+            self.timesteps = torch.from_numpy(timesteps).to(
+                device=device, dtype=torch.long
+            )
+
+        def get_scalings_for_boundary_condition_discrete(self, timestep):
+            scaled_t = timestep * self.timestep_scaling
+            c_skip = self.sigma_data**2 / (scaled_t**2 + self.sigma_data**2)
+            c_out = scaled_t / (scaled_t**2 + self.sigma_data**2) ** 0.5
+            return c_skip, c_out
+
+    # -- image_processor ------------------------------------------------------
+    class VaeImageProcessor:
+        """Shim scope: torch tensors already at target size, values in [0,1].
+        (The full diffusers class also handles PIL/np and resizing — the
+        parity tests feed pre-sized tensors, so only normalisation applies.)"""
+
+        def __init__(self, vae_scale_factor=8, **_):
+            self.vae_scale_factor = vae_scale_factor
+
+        def preprocess(self, image, height=None, width=None):
+            if not isinstance(image, torch.Tensor):
+                raise NotImplementedError("shim VaeImageProcessor: tensor input only")
+            if image.ndim == 3:
+                image = image[None]
+            return 2.0 * image - 1.0
+
+    def retrieve_latents(encoder_output, generator=None, sample_mode="sample"):
+        if hasattr(encoder_output, "latent_dist"):
+            return encoder_output.latent_dist.sample(generator)
+        if hasattr(encoder_output, "latents"):
+            return encoder_output.latents
+        raise AttributeError("Could not access latents of provided encoder_output")
+
     # -- utils ---------------------------------------------------------------
     class BaseOutput:
         def __getitem__(self, key):
@@ -204,10 +316,18 @@ def install_diffusers_shim() -> None:
         sys.modules[name] = m
         return m
 
-    root = mod("diffusers", __live2diff_tpu_shim__=True)
+    root = mod("diffusers", __live2diff_tpu_shim__=True,
+               LCMScheduler=LCMScheduler)
     cfgu = mod("diffusers.configuration_utils", ConfigMixin=ConfigMixin,
                register_to_config=register_to_config)
     models = mod("diffusers.models", ModelMixin=ModelMixin)
+    mod("diffusers.image_processor", VaeImageProcessor=VaeImageProcessor)
+    mod("diffusers.pipelines")
+    mod("diffusers.pipelines.stable_diffusion")
+    mod(
+        "diffusers.pipelines.stable_diffusion.pipeline_stable_diffusion_img2img",
+        retrieve_latents=retrieve_latents,
+    )
     attn = mod("diffusers.models.attention", Attention=Attention,
                FeedForward=FeedForward, AdaLayerNorm=AdaLayerNorm, GEGLU=GEGLU)
     proc = mod("diffusers.models.attention_processor", AttentionProcessor=object)
@@ -247,3 +367,35 @@ def load_reference_models():
         "unet_depth_streaming", "unet_depth_warmup",
     )
     return {n: importlib.import_module(f"refanim.{n}") for n in names}
+
+
+REFERENCE_PKG_DIR = "/root/reference/live2diff"
+
+
+def load_reference_stream_pipeline():
+    """Import the reference's StreamAnimateDiffusionDepth module for CPU runs.
+
+    Registers a synthetic ``live2diff`` package rooted at the reference tree
+    (so ``live2diff.image_filter`` resolves to the real reference file) and
+    stubs ``live2diff.animatediff.pipeline`` — the stream module only needs
+    ``AnimationDepthPipeline`` as a type annotation; the tests inject a
+    duck-typed pipe carrying refanim-built models instead of running the
+    full (heavyweight) reference pipeline builder.
+    """
+    install_diffusers_shim()
+    if "live2diff.pipeline_stream_animation_depth" in sys.modules:
+        return sys.modules["live2diff.pipeline_stream_animation_depth"]
+
+    pkg = types.ModuleType("live2diff")
+    pkg.__path__ = [REFERENCE_PKG_DIR]
+    sys.modules["live2diff"] = pkg
+
+    anim = types.ModuleType("live2diff.animatediff")
+    anim.__path__ = []
+    pipe_mod = types.ModuleType("live2diff.animatediff.pipeline")
+    pipe_mod.AnimationDepthPipeline = type("AnimationDepthPipeline", (), {})
+    anim.pipeline = pipe_mod
+    sys.modules["live2diff.animatediff"] = anim
+    sys.modules["live2diff.animatediff.pipeline"] = pipe_mod
+
+    return importlib.import_module("live2diff.pipeline_stream_animation_depth")
