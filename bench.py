@@ -270,9 +270,16 @@ def psnr_bf16_side(args, outs_int8) -> float:
     del built_bf16, prompt_b
     collect_now()
     val = psnr(outs_int8, outs_bf16)
+    # SNR = 10*log10(var(signal)/mse) is contrast-invariant: random-init
+    # weights give low-contrast outputs that FLATTER PSNR (peak fixed at
+    # 255), so also report error relative to the actual signal variance —
+    # the honest quantisation-noise figure for placeholder weights
+    mse = np.mean((outs_int8.astype(np.float64) - outs_bf16.astype(np.float64)) ** 2)
+    sig = float(np.var(outs_bf16.astype(np.float64)))
+    snr = float("inf") if mse == 0 else 10 * np.log10(sig / mse)
     stage(f"psnr int8-defaults vs bf16-exact over {args.psnr_frames} frames: "
-          f"{val:.2f} dB")
-    return round(val, 2)
+          f"{val:.2f} dB (snr {snr:.2f} dB, output std {np.sqrt(sig):.1f}/255)")
+    return round(val, 2), round(snr, 2), round(float(np.sqrt(sig)), 1)
 
 
 def sessions_row(built, args, height, width, s: int) -> dict:
@@ -463,7 +470,8 @@ def main() -> None:
 
         if run_psnr:
             try:
-                result["psnr_int8_vs_bf16"] = psnr_bf16_side(args, outs_int8)
+                (result["psnr_int8_vs_bf16"], result["snr_int8_vs_bf16"],
+                 result["output_std_int8_check"]) = psnr_bf16_side(args, outs_int8)
                 result["psnr_frames"] = args.psnr_frames
             except Exception as e:
                 stage(f"psnr bf16 side failed: {e!r}")

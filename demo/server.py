@@ -327,25 +327,50 @@ async def ws_handshake(writer: asyncio.StreamWriter, headers: dict) -> bool:
     return True
 
 
-async def ws_recv(reader: asyncio.StreamReader):
-    """-> (opcode, payload) or None on close."""
-    hdr = await reader.readexactly(2)
-    fin_op, mask_len = hdr
-    opcode = fin_op & 0x0F
-    masked = mask_len & 0x80
-    length = mask_len & 0x7F
-    if length == 126:
-        length = struct.unpack(">H", await reader.readexactly(2))[0]
-    elif length == 127:
-        length = struct.unpack(">Q", await reader.readexactly(8))[0]
-    mask = await reader.readexactly(4) if masked else b"\x00" * 4
-    payload = bytearray(await reader.readexactly(length))
-    if masked:
-        for i in range(length):
-            payload[i] ^= mask[i % 4]
-    if opcode == 0x8:
-        return None
-    return opcode, bytes(payload)
+async def ws_recv(reader: asyncio.StreamReader,
+                  writer: asyncio.StreamWriter = None):
+    """-> (opcode, complete message payload) or None on close.
+
+    RFC6455-complete receive: continuation frames (FIN=0 + opcode 0x0) are
+    reassembled into one message, interleaved pings are answered inline
+    (control frames may arrive BETWEEN fragments, so the pong cannot be
+    left to the caller without losing the fragment buffer), pongs are
+    swallowed.
+    """
+    msg_opcode = None
+    buf = bytearray()
+    while True:
+        hdr = await reader.readexactly(2)
+        fin_op, mask_len = hdr
+        fin = fin_op & 0x80
+        opcode = fin_op & 0x0F
+        masked = mask_len & 0x80
+        length = mask_len & 0x7F
+        if length == 126:
+            length = struct.unpack(">H", await reader.readexactly(2))[0]
+        elif length == 127:
+            length = struct.unpack(">Q", await reader.readexactly(8))[0]
+        mask = await reader.readexactly(4) if masked else b"\x00" * 4
+        payload = bytearray(await reader.readexactly(length))
+        if masked:
+            for i in range(length):
+                payload[i] ^= mask[i % 4]
+        if opcode == 0x8:  # close
+            return None
+        if opcode == 0x9:  # ping: echo payload as pong
+            if writer is not None:
+                writer.write(ws_frame(bytes(payload), 0xA))
+                await writer.drain()
+            continue
+        if opcode == 0xA:  # pong: ignore
+            continue
+        if opcode:  # first (or only) fragment of a data message
+            msg_opcode = opcode
+            buf = payload
+        else:  # continuation
+            buf.extend(payload)
+        if fin:
+            return msg_opcode, bytes(buf)
 
 
 def ws_frame(payload: bytes, opcode: int = 0x1) -> bytes:
@@ -505,7 +530,7 @@ class App:
         last_seen = time.time()
         try:
             while True:
-                msg = await ws_recv(reader)
+                msg = await ws_recv(reader, writer)  # pings answered inline
                 if msg is None:
                     break
                 opcode, payload = msg
@@ -513,10 +538,6 @@ class App:
                     await ws_send_json(writer, {"status": "timeout"})
                     break
                 last_seen = time.time()
-                if opcode == 0x9:  # ping
-                    writer.write(ws_frame(payload, 0xA))
-                    await writer.drain()
-                    continue
                 if opcode == 0x1:  # text: params or control
                     data = json.loads(payload or b"{}")
                     if data.get("status") == "next_frame":

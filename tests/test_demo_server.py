@@ -109,17 +109,30 @@ class _WSClient:
         out, self.buf = self.buf[:n], self.buf[n:]
         return out
 
-    def send(self, payload, opcode):
+    def send_raw(self, payload, opcode, fin=True):
         mask = os.urandom(4)
-        header = bytes([0x80 | opcode])
+        header = bytes([(0x80 if fin else 0x00) | opcode])
         n = len(payload)
         if n < 126:
             header += bytes([0x80 | n])
-        else:
+        elif n < (1 << 16):
             header += bytes([0x80 | 126]) + struct.pack(">H", n)
+        else:
+            header += bytes([0x80 | 127]) + struct.pack(">Q", n)
         self.sock.sendall(
             header + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
         )
+
+    def send(self, payload, opcode):
+        self.send_raw(payload, opcode, fin=True)
+
+    def send_fragmented(self, payload, opcode, n_fragments=3):
+        """RFC6455 fragmentation: opcode + FIN=0, then 0x0 continuations."""
+        chunk = max(1, len(payload) // n_fragments)
+        parts = [payload[i:i + chunk] for i in range(0, len(payload), chunk)]
+        for i, part in enumerate(parts):
+            self.send_raw(part, opcode if i == 0 else 0x0,
+                          fin=(i == len(parts) - 1))
 
     def recv(self):
         hdr = self._read(2)
@@ -254,6 +267,267 @@ def _pump_user(port, uid, duration, counts):
             s.send(jpeg, 0x2)
     s.close()
     reader.join(timeout=3)
+
+
+def _make_jpeg(h=32, w=32, value=180, quality=80):
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 1] = value
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def _collect_mjpeg(port, uid, want, out_list, duration=10):
+    c = socket.create_connection(("127.0.0.1", port), timeout=duration)
+    c.sendall(f"GET /api/stream/{uid} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+    c.settimeout(0.5)
+    buf = b""
+    deadline = time.time() + duration
+    while len(out_list) < want and time.time() < deadline:
+        try:
+            chunk = c.recv(65536)
+        except socket.timeout:
+            continue
+        if not chunk:
+            break
+        buf += chunk
+        while True:
+            a, b = buf.find(b"\xff\xd8"), buf.find(b"\xff\xd9")
+            if a == -1 or b == -1:
+                break
+            out_list.append(buf[a:b + 2])
+            buf = buf[b + 2:]
+    c.close()
+
+
+def test_ws_fragmented_frames(server_port):
+    """RFC6455 continuation frames: a params JSON split over 3 fragments and
+    a JPEG split over 4 must reassemble into whole messages."""
+    port = server_port
+    uid = "frag"
+    frames_out = []
+    t = threading.Thread(target=_collect_mjpeg, args=(port, uid, 1, frames_out),
+                         daemon=True)
+    t.start()
+
+    s = _WSClient(port, uid)
+    op, data = s.recv()
+    assert json.loads(data)["status"] == "connected"
+    jpeg = _make_jpeg()
+
+    sent = 0
+    deadline = time.time() + 10
+    while sent < 2 and time.time() < deadline:
+        op, data = s.recv()
+        if json.loads(data).get("status") == "send_frame":
+            s.send_fragmented(json.dumps({"prompt": "frag"}).encode(), 0x1, 3)
+            s.send_fragmented(jpeg, 0x2, 4)
+            sent += 1
+    t.join(timeout=10)
+    s.close()
+    assert sent == 2
+    assert len(frames_out) >= 1
+    out = np.asarray(Image.open(io.BytesIO(frames_out[0])))
+    assert out[:, :, 1].mean() < 100  # synthetic inverts green 180 -> ~75
+
+
+def test_ws_ping_pong_and_interleaved_ping(server_port):
+    """A ping must be answered with a pong echoing the payload — including a
+    ping arriving BETWEEN fragments of a data message."""
+    s = _WSClient(server_port, "pinger")
+    op, data = s.recv()
+    assert json.loads(data)["status"] == "connected"
+    op, data = s.recv()
+    assert json.loads(data)["status"] == "send_frame"
+
+    s.send_raw(b"hello-ws", 0x9)
+    op, data = s.recv()
+    assert op == 0xA and data == b"hello-ws"
+
+    # ping interleaved inside a fragmented text message
+    payload = json.dumps({"prompt": "interleaved"}).encode()
+    s.send_raw(payload[:4], 0x1, fin=False)
+    s.send_raw(b"mid", 0x9)
+    s.send_raw(payload[4:], 0x0, fin=True)
+    op, data = s.recv()
+    assert op == 0xA and data == b"mid"
+    # connection still alive: next_frame control round-trips
+    s.send(json.dumps({"status": "next_frame"}).encode(), 0x1)
+    op, data = s.recv()
+    assert json.loads(data)["status"] == "send_frame"
+    s.close()
+
+
+def test_ws_large_frame_64bit_length(server_port):
+    """Binary frames >65535 bytes take the 8-byte extended-length path."""
+    port = server_port
+    uid = "big"
+    frames_out = []
+    t = threading.Thread(target=_collect_mjpeg, args=(port, uid, 1, frames_out),
+                         daemon=True)
+    t.start()
+
+    rs = np.random.RandomState(0)
+    noisy = rs.randint(0, 255, (256, 256, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(noisy).save(buf, format="JPEG", quality=100)
+    jpeg = buf.getvalue()
+    assert len(jpeg) > 65535, "test needs a >64KiB payload"
+
+    s = _WSClient(port, uid)
+    deadline = time.time() + 10
+    sent = 0
+    while sent < 1 and time.time() < deadline:
+        op, data = s.recv()
+        if json.loads(data).get("status") == "send_frame":
+            s.send(json.dumps({"prompt": "big"}).encode(), 0x1)
+            s.send(jpeg, 0x2)
+            sent += 1
+    t.join(timeout=10)
+    s.close()
+    assert len(frames_out) >= 1
+    out = np.asarray(Image.open(io.BytesIO(frames_out[0])))
+    assert out.shape[:2] == (256, 256)
+
+
+def test_ws_mid_stream_disconnect_then_reconnect(server_port):
+    """An abrupt socket drop mid-stream must free the slot; the same user id
+    reconnects and streams again."""
+    port = server_port
+    uid = "dropper"
+    jpeg = _make_jpeg()
+
+    s = _WSClient(port, uid)
+    deadline = time.time() + 10
+    sent = 0
+    while sent < 1 and time.time() < deadline:
+        op, data = s.recv()
+        if json.loads(data).get("status") == "send_frame":
+            s.send(json.dumps({"prompt": "x"}).encode(), 0x1)
+            s.send(jpeg, 0x2)
+            sent += 1
+    s.sock.close()  # abrupt: no close frame
+
+    # server cleans up; reconnect with the same uid and stream again
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        head, body = _http_get(port, "/api/queue")
+        if json.loads(body)["queue_size"] == 0:
+            break
+        time.sleep(0.1)
+    assert json.loads(body)["queue_size"] == 0
+
+    frames_out = []
+    t = threading.Thread(target=_collect_mjpeg, args=(port, uid, 1, frames_out),
+                         daemon=True)
+    t.start()
+    s2 = _WSClient(port, uid)
+    sent = 0
+    deadline = time.time() + 10
+    while sent < 2 and time.time() < deadline:
+        op, data = s2.recv()
+        if json.loads(data).get("status") == "send_frame":
+            s2.send(json.dumps({"prompt": "x"}).encode(), 0x1)
+            s2.send(jpeg, 0x2)
+            sent += 1
+    t.join(timeout=10)
+    s2.close()
+    assert len(frames_out) >= 1
+
+
+class _WarmupFakePipeline:
+    """predict() returns None for each user's first 8 frames (warming), then
+    echoes inverted frames — the DemoPipeline warmup contract without jax."""
+
+    WARMUP_FRAMES = 8
+
+    def __init__(self):
+        self.seen = {}
+
+    def predict(self, params, frame):
+        uid_key = params.get("prompt", "")  # prompt doubles as user marker here
+        n = self.seen.get(uid_key, 0) + 1
+        self.seen[uid_key] = n
+        if n <= self.WARMUP_FRAMES:
+            return None
+        return 255 - frame
+
+
+def test_two_users_one_warming_one_streaming():
+    """A user mid-warmup (predict -> None) must not stall another user who
+    is already streaming outputs."""
+    port = _free_port()
+    app = App(_WarmupFakePipeline(), max_users=4)
+    _start_server(app, port)
+    jpeg = _make_jpeg()
+
+    def pump(uid, n_frames, outputs):
+        t = threading.Thread(target=_collect_mjpeg,
+                             args=(port, uid, n_frames, outputs), daemon=True)
+        t.start()
+        s = _WSClient(port, uid)
+        sent = 0
+        deadline = time.time() + 15
+        while sent < n_frames + 8 and time.time() < deadline:
+            op, data = s.recv()
+            if json.loads(data).get("status") == "send_frame":
+                s.send(json.dumps({"prompt": uid}).encode(), 0x1)
+                s.send(jpeg, 0x2)
+                sent += 1
+        s.close()
+        return t
+
+    out_a, out_b = [], []
+    # user A fully warms (8 frames) then streams
+    ta = pump("userA", 4, out_a)
+    ta.join(timeout=15)
+    assert len(out_a) >= 1, "warmed user got no outputs"
+
+    # user B starts warming while A streams more
+    tb_sock = _WSClient(port, "userB")
+    for _ in range(3):  # B stays in warmup (3 < 8)
+        op, data = tb_sock.recv()
+        if json.loads(data).get("status") == "send_frame":
+            tb_sock.send(json.dumps({"prompt": "userB"}).encode(), 0x1)
+            tb_sock.send(jpeg, 0x2)
+    out_a2 = []
+    ta2 = pump("userA", 2, out_a2)
+    ta2.join(timeout=15)
+    tb_sock.close()
+    assert len(out_a2) >= 1, "warming user B stalled streaming user A"
+    assert len(out_b) == 0  # B never finished warmup
+
+
+def test_concurrent_mjpeg_readers_same_user(server_port):
+    """Two MJPEG consumers on one user id must both receive frames without
+    wedging the server (frames are split between them)."""
+    port = server_port
+    uid = "dual"
+    out1, out2 = [], []
+    t1 = threading.Thread(target=_collect_mjpeg, args=(port, uid, 2, out1),
+                          daemon=True)
+    t2 = threading.Thread(target=_collect_mjpeg, args=(port, uid, 2, out2),
+                          daemon=True)
+    t1.start(), t2.start()
+
+    s = _WSClient(port, uid)
+    jpeg = _make_jpeg()
+    sent = 0
+    deadline = time.time() + 12
+    while sent < 10 and time.time() < deadline:
+        op, data = s.recv()
+        if json.loads(data).get("status") == "send_frame":
+            s.send(json.dumps({"prompt": "x"}).encode(), 0x1)
+            s.send(jpeg, 0x2)
+            sent += 1
+        if out1 and out2:
+            break
+    t1.join(timeout=5), t2.join(timeout=5)
+    s.close()
+    assert len(out1) >= 1 and len(out2) >= 1
+    # server still serves HTTP after the dual-reader session
+    head, body = _http_get(port, "/api/queue")
+    assert b"200" in head.split(b"\r\n")[0]
 
 
 def test_batched_two_users_beat_single_aggregate():
