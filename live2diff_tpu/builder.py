@@ -111,6 +111,9 @@ class BuiltPipeline:
     missing_artifacts: Tuple[str, ...]
     prompt_template: str = "{}"
     clip_skip: int = 1
+    # per-LoRA factor records for runtime re-strengthening:
+    # {path: {"records": [(which, key, up, down, unit)], "fused_alpha": a}}
+    lora_runtime: Dict[str, dict] = dataclasses.field(default_factory=dict)
 
 
 def build_pipeline(
@@ -242,12 +245,17 @@ def build_pipeline(
             or "models/loras/lcm-lora-sdv1-5.safetensors"
         )
         all_loras.append({"lora": str(lcm_path), "lora_alpha": 1.0})
+    lora_runtime: Dict[str, dict] = {}
     for entry in all_loras:
         lpath, alpha = entry.get("lora"), entry.get("lora_alpha", 1.0)
         if lpath and os.path.isfile(lpath):
+            records: list = []
             merge_lora_into_state_dict(
-                unet_sd, text_sd, load_state_dict_file(lpath), lora_alpha=alpha
+                unet_sd, text_sd, load_state_dict_file(lpath), lora_alpha=alpha,
+                collect=records,
             )
+            # factors kept for runtime re-strengthening (wrapper.update_lora_scale)
+            lora_runtime[str(lpath)] = {"records": records, "fused_alpha": alpha}
         else:
             missing.append(str(lpath))
 
@@ -372,6 +380,7 @@ def build_pipeline(
         missing_artifacts=tuple(missing),
         prompt_template=cfg.get("prompt_template", cfg.get("prompt", "{}")),
         clip_skip=(cfg.get("third_party_dict", {}) or {}).get("clip_skip", 1),
+        lora_runtime=lora_runtime,
     )
 
 

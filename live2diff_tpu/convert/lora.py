@@ -99,10 +99,15 @@ def merge_lora_into_state_dict(
     text_sd: Dict[str, np.ndarray],
     lora_sd: Dict[str, np.ndarray],
     lora_alpha: float = 1.0,
+    collect: list = None,
 ) -> Tuple[int, int]:
     """Merge a LoRA into (unet_sd, text_sd) in place.
 
-    Returns (num_merged, num_unmatched).
+    Returns (num_merged, num_unmatched). When ``collect`` is a list, one
+    record ``(which, target_key, up, down, unit)`` is appended per merged
+    module (``unit = alpha / rank``; the fused delta is
+    ``lora_alpha * unit * up @ down``) — the factors the runtime needs to
+    re-strength the LoRA later without rebuilding (wrapper.update_lora_scale).
     """
     unet_index = _flat_key_index(unet_sd)
     text_index = _flat_key_index(text_sd)
@@ -132,5 +137,26 @@ def merge_lora_into_state_dict(
             sd[target_key] = (w + _delta(up, down, scale)).astype(sd[target_key].dtype)
         else:
             sd[target_key] = (w + scale * up @ down).astype(sd[target_key].dtype)
+        if collect is not None:
+            collect.append((which, target_key, up, down, alpha / rank))
         merged += 1
     return merged, unmatched
+
+
+def lora_delta_state_dict(records, delta_alpha: float) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Torch-layout weight DELTAS for a strength change of ``delta_alpha``.
+
+    records: the ``collect`` output of :func:`merge_lora_into_state_dict`.
+    Returns (unet_deltas, text_deltas) keyed like the original state dicts;
+    deltas transform to Flax layout exactly like weights (the converters'
+    per-kind transforms are linear), so they can be converted and added to
+    live parameters.
+    """
+    unet_d: Dict[str, np.ndarray] = {}
+    text_d: Dict[str, np.ndarray] = {}
+    for which, target_key, up, down, unit in records:
+        scale = delta_alpha * unit
+        d = _delta(up, down, scale) if (up.ndim == 4) else scale * (up @ down)
+        tgt = unet_d if which == "unet" else text_d
+        tgt[target_key] = (tgt.get(target_key, 0.0) + d).astype(np.float32)
+    return unet_d, text_d

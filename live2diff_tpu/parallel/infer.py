@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.unet import UNet3DConditionModel, UNetConfig
@@ -102,6 +103,133 @@ def stream_step_tp_dryrun(n_devices: int, latent: int = 8) -> float:
         out, _ = step(params, sample, t, text, depth, new_caches, bias, pe_idx, update_idx)
         out = jax.block_until_ready(out)
     return float(jnp.mean(out.astype(jnp.float32)))
+
+
+def flagship_stream_tp_check(
+    n_devices: int, latent: int = 8, steps: int = 2, tol: float = 2e-4
+) -> float:
+    """Lower + EXECUTE the real ``UNetConfig()`` stream step tp-sharded and
+    assert numerical equality with the unsharded step (VERDICT r3 item 5:
+    the tiny dryrun can't catch tp-rule/divisibility bugs at 866M-param
+    shapes — a rule that silently falls back to replication passes every
+    small-shape gate).
+
+    Asserts (a) sharded output == unsharded output within ``tol`` rel err,
+    (b) the tp rules actually bite at flagship shapes: >=60% of parameter
+    bytes are tp-sharded when tp > 1. Small latent keeps the CPU cost at a
+    few seconds of compute; the params are deterministic random fills (the
+    equality check needs non-degenerate weights, not trained ones).
+    """
+    from ..stream.state_machine import init_window_state, mask_to_bias
+
+    mesh = make_mesh(n_devices)
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+    cfg = UNetConfig()
+    unet = UNet3DConditionModel(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+
+    caches = cfg.init_caches(latent, latent, steps, dtype=jnp.float32)
+    mask, pe_idx, update_idx = init_window_state(steps)
+    bias = mask_to_bias(mask)
+    sample = jnp.full((steps, 1, latent, latent, 4), 0.1, jnp.float32)
+    t = jnp.asarray([399, 199], jnp.int32)[:steps]
+    text = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(2), (steps, 77, cfg.cross_attention_dim), jnp.float32
+    )
+    depth = jnp.full_like(sample, 0.05)
+
+    shapes = jax.eval_shape(
+        lambda: unet.init(
+            jax.random.PRNGKey(0), sample, t, text, depth, caches,
+            "stream", bias, pe_idx, update_idx,
+        )
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key = jax.random.PRNGKey(3)
+    params = jax.tree_util.tree_unflatten(treedef, [
+        0.02 * jax.random.normal(jax.random.fold_in(key, i), s.shape, s.dtype)
+        for i, s in enumerate(leaves)
+    ])
+
+    def fn(params, sample, t, text, depth, caches, bias, pe_idx, update_idx):
+        out, new_caches = unet.apply(
+            params, sample, t, text, depth, caches, "stream", bias, pe_idx, update_idx
+        )
+        return out, new_caches
+
+    # unsharded baseline
+    base_out, _ = jax.jit(fn)(
+        params, sample, t, text, depth, caches, bias, pe_idx, update_idx
+    )
+    base_out = np.asarray(jax.block_until_ready(base_out), np.float32)
+
+    sharded = shard_params(params, mesh)
+    if tp > 1:
+        def tp_bytes(x):
+            s = x.sharding.spec if hasattr(x.sharding, "spec") else None
+            return x.size * x.dtype.itemsize if (s and "tp" in s) else 0
+
+        total = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(sharded))
+        on_tp = sum(tp_bytes(x) for x in jax.tree_util.tree_leaves(sharded))
+        frac = on_tp / total
+        assert frac >= 0.60, (
+            f"tp rules degenerate at flagship shapes: only {frac:.1%} of param "
+            f"bytes tp-sharded (divisibility fallback replicating big weights?)"
+        )
+    caches_sh = cache_sharding(mesh, caches)
+
+    with mesh:
+        out, new_caches = jax.jit(fn, donate_argnums=(5,))(
+            sharded, sample, t, text, depth, caches_sh, bias, pe_idx, update_idx
+        )
+        out = np.asarray(jax.block_until_ready(out), np.float32)
+
+    err = float(np.max(np.abs(out - base_out)) / (np.max(np.abs(base_out)) + 1e-8))
+    assert err < tol, f"flagship tp-sharded step diverges from unsharded: {err:.2e}"
+    return err
+
+
+def flagship_train_lowering_check(n_devices: int, latent: int = 8, frames: int = 2) -> int:
+    """Lower (trace + StableHLO) the flagship train step over the mesh.
+
+    Compilation of an 866M-param backward on a 1-core CPU is minutes; the
+    lowering already exercises tracing, shape flow, and sharding-annotation
+    plumbing at real shapes, which is where config-shape bugs live.
+    Returns the size of the lowered module text.
+    """
+    from .mesh import make_mesh, shard_params
+    from .train import TrainState, make_optimizer, make_train_step
+
+    mesh = make_mesh(n_devices)
+    dp = mesh.devices.shape[0]
+    cfg = UNetConfig()
+    unet = UNet3DConditionModel(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+
+    b = max(dp, 2)
+    batch = {
+        "latents": jnp.ones((b, frames, latent, latent, 4), jnp.float32) * 0.1,
+        "text": jnp.zeros((b, 77, cfg.cross_attention_dim), jnp.float32),
+        "depth": jnp.zeros((b, frames, latent, latent, 4), jnp.float32),
+    }
+    dummy_caches = tuple(jnp.zeros((0,), jnp.float32) for _ in range(cfg.num_caches()))
+    shapes = jax.eval_shape(
+        lambda: unet.init(
+            jax.random.PRNGKey(0), batch["latents"], jnp.zeros((b,), jnp.int32),
+            batch["text"], batch["depth"], dummy_caches, "clip", None, None, None,
+        )
+    )
+    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = shard_params(params, mesh)
+    optimizer = make_optimizer()
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=optimizer.init(params), rng=jax.random.PRNGKey(1),
+    )
+    step_fn = make_train_step(unet, optimizer, mesh=mesh)
+    with mesh:
+        lowered = step_fn.lower(state, batch)
+    text = lowered.as_text()
+    assert "stablehlo" in text[:4096] or "module" in text[:4096]
+    return len(text)
 
 
 def multi_session_dp_dryrun(n_devices: int, sessions: Optional[int] = None,

@@ -150,6 +150,69 @@ class StreamV2VWrapper:
         )
         return postprocess_image(out, self.output_type)
 
+    def update_lora_scale(self, lora: str, scale: float) -> int:
+        """Re-strength a fused LoRA at runtime — no rebuild, no recompile.
+
+        The reference unfuses and refuses LoRA weights in seconds
+        (ref pipeline/loader.py:9-68, wrapper unfuse->refuse flow); here the
+        build keeps each LoRA's (up, down, unit) factors
+        (builder lora_runtime), so a strength change is
+        ``w += (new - old) * unit * up @ down`` applied to the live
+        parameters. Deltas are computed on host in fp32, converted with the
+        same layout transforms as weights, and the new leaves re-enter the
+        device through the canonical host layout — the jitted step sees new
+        buffers of identical shape/dtype/layout, so no recompilation.
+
+        ``lora`` matches by full path, basename, or unique substring.
+        Returns the number of parameter leaves updated.
+        """
+        import jax.numpy as jnp
+
+        from .convert.lora import lora_delta_state_dict
+        from .convert.torch_to_flax import clip_torch_to_flax, unet_torch_to_flax
+
+        matches = [k for k in self.built.lora_runtime
+                   if k == lora or os.path.basename(k) == lora or lora in k]
+        if len(matches) != 1:
+            raise KeyError(
+                f"lora {lora!r} matches {matches or 'nothing'} among "
+                f"{[os.path.basename(k) for k in self.built.lora_runtime]}"
+            )
+        entry = self.built.lora_runtime[matches[0]]
+        delta_alpha = float(scale) - float(entry["fused_alpha"])
+        if delta_alpha == 0.0:
+            return 0
+        unet_d, text_d = lora_delta_state_dict(entry["records"], delta_alpha)
+
+        def apply_deltas(params, converted):
+            n = 0
+
+            def walk(tree, sub):
+                nonlocal n
+                for k, v in sub.items():
+                    if isinstance(v, dict):
+                        walk(tree[k], v)
+                    else:
+                        old = tree[k]
+                        new = np.asarray(old, np.float32) + np.asarray(v, np.float32)
+                        tree[k] = jnp.asarray(new.astype(old.dtype))
+                        n += 1
+
+            walk(params, converted)
+            return n
+
+        n_updated = 0
+        if unet_d:
+            converted, _ = unet_torch_to_flax(unet_d)
+            n_updated += apply_deltas(self.stream.params["unet"]["params"],
+                                      converted["params"])
+        if text_d and self.built.text_params is not None:
+            converted, _ = clip_torch_to_flax(text_d)
+            n_updated += apply_deltas(self.built.text_params["params"],
+                                      converted["params"])
+        entry["fused_alpha"] = float(scale)
+        return n_updated
+
     def update_prompt(self, prompt: str) -> None:
         # route through the style template exactly like prepare() — a
         # mid-stream prompt change must not silently drop the style prefix

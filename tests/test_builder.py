@@ -115,6 +115,63 @@ def test_lcm_lora_default_path_reported_missing(base_model_dir):
     )
 
 
+def test_runtime_lora_rescale_matches_build_time_fuse(base_model_dir, tmp_path):
+    """wrapper.update_lora_scale must land on the same weights a fresh build
+    at that strength produces — the reference's unfuse->refuse flow without
+    the rebuild (ref pipeline/loader.py:9-68)."""
+    import jax.numpy as jnp
+
+    from live2diff_tpu.wrapper import StreamV2VWrapper
+
+    rs = np.random.RandomState(3)
+    lora_sd = {
+        "lora_unet_conv_in.lora_up.weight": rs.randn(8, 2, 1, 1).astype(np.float32),
+        "lora_unet_conv_in.lora_down.weight": rs.randn(2, 4, 3, 3).astype(np.float32),
+        "lora_unet_conv_in.alpha": np.asarray(2.0, np.float32),
+    }
+    lpath = tmp_path / "style-lora.safetensors"
+    save_file(lora_sd, str(lpath))
+
+    kw = dict(
+        height=64, width=64, use_depth=False, use_text_encoder=False,
+        unet_overrides=TINY_OVERRIDES, dtype="float32",
+    )
+    cfg = _tiny_cfg(base_model_dir)
+
+    w = StreamV2VWrapper(dict(cfg), lora_dict={str(lpath): 0.5}, **kw)
+    assert any("style-lora" in k for k in w.built.lora_runtime)
+
+    def conv_in_kernel(built):
+        return np.asarray(
+            built.stream.params["unet"]["params"]["conv_in"]["conv"]["kernel"],
+            np.float32,
+        )
+
+    # re-strength 0.5 -> 1.25 at runtime; compare against a fresh fuse at 1.25
+    n = w.update_lora_scale("style-lora.safetensors", 1.25)
+    assert n >= 1
+    from live2diff_tpu.builder import build_pipeline
+
+    fresh = build_pipeline(dict(cfg), lora_dict={str(lpath): 1.25},
+                           height=64, width=64, use_depth=False,
+                           unet_overrides=TINY_OVERRIDES, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        conv_in_kernel(w.built), conv_in_kernel(fresh), rtol=1e-5, atol=1e-6)
+
+    # back to 0 == LoRA removed entirely
+    w.update_lora_scale("style-lora.safetensors", 0.0)
+    plain = build_pipeline(dict(cfg), height=64, width=64, use_depth=False,
+                           unet_overrides=TINY_OVERRIDES, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        conv_in_kernel(w.built), conv_in_kernel(plain), rtol=1e-5, atol=1e-6)
+
+    # unknown / ambiguous names fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        w.update_lora_scale("no-such-lora", 1.0)
+
+
 def test_textual_inversion_wired_from_third_party_dict(base_model_dir, tmp_path):
     ti_path = tmp_path / "easynegative.safetensors"
     vecs = np.random.RandomState(1).randn(2, 768).astype(np.float32)
