@@ -4,9 +4,17 @@ The reference serializes concurrent demo users through a single pipeline
 (/root/reference/demo/app.py:97-123 — cooperative asyncio, one user at a
 time). TPU-native design instead stacks the per-stream state along a leading
 session axis and vmaps the compiled frame step: S sessions cost one UNet
-dispatch with batch S*num_steps, amortising weight reads across sessions
-(the dominant cost at small batch is HBM weight traffic, so batching is
-near-free throughput).
+dispatch with batch S*num_steps.
+
+What batching buys depends on the operating point. At 512x512 the UNet is
+MXU-compute-bound already at batch 2 (activations exceed weight bytes at
+every level), so sessions scale near-linearly in device time and batching
+amortises only the fixed per-dispatch costs (~10% aggregate gain measured
+at 4 sessions, BENCH r3/r4) — its real value there is MEMORY: int8 caches
+let 4 session states share one chip. In the weight-bound regime (smaller
+resolutions / 1-step schedules) the same batching is genuinely near-free
+throughput. Scaling past one chip is dp over sessions
+(parallel/infer.py:multi_session_dp_dryrun) — zero collectives.
 
 All sessions share model weights and shapes; prompts differ per session.
 """
