@@ -114,6 +114,8 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--psnr-frames", type=int, default=50)
     p.add_argument("--no-second-res", action="store_true",
                    help="skip the 768x512 row")
+    p.add_argument("--no-burst", action="store_true",
+                   help="skip the one-dispatch burst (scan) row")
     p.add_argument("--no-sessions-row", action="store_true",
                    help="skip the 4-session aggregate row")
     p.add_argument("--second-res-frames", type=int, default=40)
@@ -421,6 +423,34 @@ def main() -> None:
             "protocol": f"device-sync (chains of {max(args.chain, 1)})",
             **stats,
         })
+
+        # ---- burst row: N frames scanned inside ONE program ---------------
+        # The offline/segment mode (ref test.py loop as one dispatch): pure
+        # device throughput with zero per-dispatch host/RPC cost — on this
+        # tunneled dev harness the chain protocol still pays an RPC per step
+        # that a co-located host would not.
+        if not args.no_burst:
+            try:
+                import jax
+
+                bn = max(args.chain, 1)
+                burst = (rng.rand(bn, height, width, 3) * 255).astype(np.uint8)
+                state, bout = stream.stream_burst(state, burst)  # compile
+                jax.block_until_ready(bout)
+                bt = []
+                dev_burst = jax.device_put(burst)
+                for _ in range(max(args.frames // bn, 3)):
+                    t0 = time.perf_counter()
+                    state, bout = stream.stream_burst(state, dev_burst)
+                    jax.block_until_ready(bout)
+                    bt.append((time.perf_counter() - t0) / bn)
+                bms = float(np.percentile(np.asarray(bt), 50)) * 1000
+                result[f"fps_burst{bn}"] = round(1000.0 / bms, 2)
+                result[f"burst{bn}_frame_ms_p50"] = round(bms, 2)
+                stage(f"burst({bn}) one-dispatch: {bms:.2f} ms/frame "
+                      f"fps={1000.0 / bms:.2f}")
+            except Exception as e:
+                stage(f"burst row failed: {e!r}")
 
         if not args.no_serving_window and not args.tiny:
             from live2diff_tpu.stream.client import PipelinedStream

@@ -159,20 +159,17 @@ class TemporalAttention(nn.Module):
         )
         to_q, to_k, to_v = dense("to_q"), dense("to_k"), dense("to_v")
 
+        q = to_q(hidden_states)
+        k = to_k(hidden_states)
+        v = to_v(hidden_states)
+
         # pre-projected positional encodings (PE stays out of the cache).
-        # The PE rows ride the SAME gemm as the tokens: projecting them
-        # separately re-reads every to_q/k/v weight matrix from HBM for a
-        # 16-row matmul — x40 modules x3 projections that was ~1 ms/frame of
-        # pure weight re-reads + tiny-op dispatch (trace: 604 async weight
-        # slices). 16 extra rows on a >=4096-row gemm are free.
+        # NOTE: measured A/B (trace r4) — riding the PE rows on the token
+        # gemm via concat LOSES ~2.5 ms/frame: the concat/slice forces
+        # materialisation + reshapes that break XLA's fusions, costing far
+        # more than these 16-row matmuls' weight re-reads. Keep them separate.
         pe = sinusoidal_table(self.pe_max_len, c, dtype=self.dtype)[: self.window_size]
-        w = self.window_size
-        aug = jnp.concatenate([hidden_states.reshape(-1, c), pe], axis=0)
-        q_all, k_all, v_all = to_q(aug), to_k(aug), to_v(aug)
-        q = q_all[:-w].reshape(b, hw, f, inner)
-        k = k_all[:-w].reshape(b, hw, f, inner)
-        v = v_all[:-w].reshape(b, hw, f, inner)
-        pe_q, pe_k, pe_v = q_all[-w:], k_all[-w:], v_all[-w:]  # [window, C]
+        pe_q, pe_k, pe_v = to_q(pe), to_k(pe), to_v(pe)  # [window, C]
 
         def split_heads(x):
             return x.reshape(*x.shape[:-1], heads, dim_head)

@@ -147,6 +147,10 @@ class StreamDiffusionDepth:
         # donate the freshly-initialised state: warmup fills the caches in
         # place instead of holding init + filled copies (2x ~3 GB) at once
         self._jit_prepare = jax.jit(self._warmup_denoise, donate_argnums=(1,))
+        # burst mode: N frames scanned inside ONE compiled program (the
+        # reference test.py's offline loop as a single dispatch); compiled
+        # lazily on first stream_burst() call
+        self._jit_burst = jax.jit(self._burst_steps, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
     # state creation
@@ -411,6 +415,36 @@ class StreamDiffusionDepth:
         )
         state = _restore_formats(state, canonical)
         return state, np.asarray(out)
+
+    def _burst_steps(
+        self, params, state: StreamState, frames_rgb: jnp.ndarray,
+        prompt_embeds: jnp.ndarray,
+    ) -> Tuple[StreamState, jnp.ndarray]:
+        """lax.scan of _frame_step over a frame burst: one dispatch for N
+        frames — identical math to N __call__s (the scan body IS
+        _frame_step), with per-dispatch host/RPC cost amortised away."""
+
+        def body(st, frame):
+            return self._frame_step(params, st, frame, prompt_embeds)
+
+        return jax.lax.scan(body, state, frames_rgb)
+
+    def stream_burst(
+        self, state: StreamState, frames: np.ndarray
+    ) -> Tuple[StreamState, jnp.ndarray]:
+        """frames: [N, H, W, 3] -> (state, [N, H, W, 3] outputs on device).
+
+        Offline/segment mode (the reference's test.py per-frame loop,
+        test.py:170-173, as one compiled program). Streaming latency
+        semantics are unchanged — outputs still lag by num_steps-1 frames —
+        but a burst requires its N input frames up front, so this is for
+        vid2vid/segment processing, not camera serving.
+        """
+        if self._prompt_embeds is None:
+            raise RuntimeError("call prepare() first")
+        return self._jit_burst(
+            self.params, state, jnp.asarray(frames), self._prompt_embeds
+        )
 
     def warm_frame_step(self, frame_dtype=jnp.float32) -> float:
         """Compile + execute one dummy frame step; returns wall seconds.

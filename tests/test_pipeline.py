@@ -51,6 +51,34 @@ def test_stream_step_is_deterministic_given_state(tiny_pipeline):
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0)
 
 
+def test_burst_matches_sequential_steps(tiny_pipeline):
+    """stream_burst (lax.scan, one dispatch) must reproduce N sequential
+    __call__ steps exactly: same outputs, same advanced state."""
+    pipe = tiny_pipeline
+    rng = np.random.RandomState(5)
+    warmup = rng.rand(8, H, W, 3).astype(np.float32) * 2 - 1
+    prompt = jnp.asarray(rng.randn(1, 7, 12), dtype=jnp.float32)
+    frames = rng.rand(4, H, W, 3).astype(np.float32) * 2 - 1
+
+    state_seq, _ = pipe.prepare(warmup, prompt, seed=3)
+    seq_outs = []
+    for f in frames:
+        state_seq, out = pipe(state_seq, f)
+        seq_outs.append(np.asarray(out))
+
+    state_b, _ = pipe.prepare(warmup, prompt, seed=3)
+    state_b, burst_outs = pipe.stream_burst(state_b, frames)
+    burst_outs = np.asarray(burst_outs)
+
+    assert burst_outs.shape == (4, H, W, 3)
+    np.testing.assert_allclose(burst_outs, np.stack(seq_outs), rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(state_b.update_idx), np.asarray(state_seq.update_idx))
+    np.testing.assert_array_equal(
+        np.asarray(state_b.rng), np.asarray(state_seq.rng))
+    assert int(state_b.frame_idx) == 4
+
+
 def test_batched_encode_matches_separate(tiny_pipeline):
     """The fused frame+depth VAE encode must equal the two-call encode.
 
