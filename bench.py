@@ -304,6 +304,24 @@ def sessions_row(built, args, height, width, s: int) -> dict:
     for _ in range(3):
         states, out = ms(states, frames)
         jax.block_until_ready(out)
+
+    # device-sync chains (same protocol as the single-session headline):
+    # 10 rounds dispatched back-to-back, one sync — the tunnel-free number
+    # that substantiates/limits the batching claim (VERDICT r3 item 8)
+    dev_rounds = [jax.device_put((rng.rand(s, height, width, 3) * 255)
+                                 .astype(np.uint8)) for _ in range(10)]
+    chain_times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for r in dev_rounds:
+            states, out = ms(states, r)
+        jax.block_until_ready(out)
+        chain_times.append((time.perf_counter() - t0) / len(dev_rounds))
+    dev_p50 = float(np.percentile(np.asarray(chain_times), 50)) * 1000
+    dev_agg = s * 1000.0 / dev_p50
+    stage(f"sessions={s} device-sync: round p50 {dev_p50:.1f}ms "
+          f"aggregate {dev_agg:.2f} fps")
+
     rounds = [(rng.rand(s, height, width, 3) * 255).astype(np.uint8)
               for _ in range(40)]
     ps = PipelinedStream(ms, states, max_in_flight=args.in_flight)
@@ -317,6 +335,8 @@ def sessions_row(built, args, height, width, s: int) -> dict:
           f"(wall {s * n_out / wall:.2f})")
     return {
         f"aggregate_fps_{s}sessions": round(agg, 2),
+        f"aggregate_device_fps_{s}sessions": round(dev_agg, 2),
+        f"round_ms_p50_{s}sessions_device": round(dev_p50, 2),
         f"wall_fps_{s}sessions": round(s * n_out / wall, 2),
     }
 
@@ -523,6 +543,27 @@ def main() -> None:
                     stats2["fps_mean"] / _BASELINES[(768, 512)], 3)
                 stage(f"768x512: {stats2['fps_mean']} fps "
                       f"(baseline 12.15, x{result['vs_baseline_768x512']})")
+                if not args.no_burst:
+                    import jax
+
+                    bn = max(args.chain, 1)
+                    burst = jax.device_put(
+                        (rng.rand(bn, 512, 768, 3) * 255).astype(np.uint8))
+                    st2, bout = built2.stream.stream_burst(st2, burst)
+                    jax.block_until_ready(bout)
+                    bt = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        st2, bout = built2.stream.stream_burst(st2, burst)
+                        jax.block_until_ready(bout)
+                        bt.append((time.perf_counter() - t0) / bn)
+                    bms = float(np.percentile(np.asarray(bt), 50)) * 1000
+                    result["fps_burst_768x512"] = round(1000.0 / bms, 2)
+                    result["vs_baseline_768x512_burst"] = round(
+                        1000.0 / bms / _BASELINES[(768, 512)], 3)
+                    stage(f"768x512 burst({bn}): {bms:.2f} ms/frame "
+                          f"fps={1000.0 / bms:.2f} "
+                          f"(x{result['vs_baseline_768x512_burst']})")
             except Exception as e:
                 stage(f"768x512 row failed: {e!r}")
                 result["fps_mean_768x512"] = None
