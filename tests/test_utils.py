@@ -114,3 +114,36 @@ def test_ema_timer():
     assert abs(t.ema["stage"] - 0.5) < 1e-9
     s = t.summary()
     assert s["stage"]["count"] == 2
+
+
+def test_attn_vis_renders(tmp_path, ):
+    """attn_vis: ref-parity renderer + window/cache diagnostics produce files."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from live2diff_tpu.stream.state import StreamState
+    from live2diff_tpu.stream.state_machine import init_window_state
+    from live2diff_tpu.utils import attn_vis
+
+    p1 = tmp_path / "attn.png"
+    attn_vis.visualize_attn_map(np.random.rand(4, 4), str(p1))
+    assert p1.stat().st_size > 0
+
+    mask, pe, upd = init_window_state(2, 8, 4)
+    caches = (jnp.ones((2, 2, 8, 16, 64)),
+              (jnp.ones((2, 2, 8, 16, 64), jnp.int8),
+               jnp.ones((2, 2, 8, 4), jnp.float32)))
+    state = StreamState(rng=jnp.zeros((2,), jnp.uint32), attn_mask=mask,
+                        pe_idx=pe, update_idx=upd, kv_caches=caches,
+                        x_t_buffer=None, depth_buffer=None)
+    p2 = tmp_path / "window.png"
+    attn_vis.window_state_figure(state, str(p2))
+    assert p2.stat().st_size > 0
+    e = attn_vis.cache_slot_energy(state)
+    assert e.shape == (2, 2, 8) and np.isfinite(e).all()
+    p3 = tmp_path / "cache.png"
+    attn_vis.cache_energy_figure(state, str(p3))
+    assert p3.stat().st_size > 0
