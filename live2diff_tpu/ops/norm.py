@@ -57,6 +57,10 @@ _LN_TAGS = os.environ.get("LIVE2DIFF_LN_TAGS", "vit")
 _LN_SITE_TAGS = {t.strip() for t in _LN_TAGS.split(",") if t.strip()}
 if "all" in _LN_SITE_TAGS:
     _LN_SITE_TAGS = set()
+# GN fallback variance algorithm: "twopass" (default, centered) or
+# "shifted" (one-pass over x-x0; same HBM reads as the old single-pass,
+# conditioning ~the two-pass). A/B knob for full-step scheduling effects.
+_GN_VAR = os.environ.get("LIVE2DIFF_GN_VAR", "twopass")
 
 
 def _kernel(x_ref, g_ref, b_ref, o_ref, *, groups, eps, act):
@@ -145,11 +149,26 @@ def group_norm_act(
 
     xf = x.astype(jnp.float32)
     cg = c // groups
-    # two-pass (centered) variance — see the kernel comment above
-    mean_g = xf.reshape(b, t, groups, cg).mean(axis=(1, 3))  # [B, G]
-    mean_c = jnp.repeat(mean_g, cg, axis=-1)  # [B, C]
-    xc = xf - mean_c[:, None, :]
-    var = (xc * xc).reshape(b, t, groups, cg).mean(axis=(1, 3))
+    if _GN_VAR == "shifted":
+        # one-pass shifted variance: statistics of (x - x0) where x0 is each
+        # group's first element. Same read count as the old E[x^2]-mean^2
+        # form, but the cancellation scale drops from mean^2 to
+        # (mean-x0)^2 ~ var, so conditioning matches the two-pass form for
+        # real activations. A/B knob vs the default two-pass.
+        x0 = jnp.repeat(xf[:, :1].reshape(b, 1, groups, cg)[..., :1]
+                        .reshape(b, groups), cg, axis=-1)  # [B, C]
+        xs = xf - x0[:, None, :]
+        s_g = xs.reshape(b, t, groups, cg).mean(axis=(1, 3))  # E[x-x0]
+        ss_g = (xs * xs).reshape(b, t, groups, cg).mean(axis=(1, 3))
+        var = ss_g - s_g * s_g
+        mean_c = jnp.repeat(s_g, cg, axis=-1) + x0
+        xc = xf - mean_c[:, None, :]
+    else:
+        # two-pass (centered) variance — see the kernel comment above
+        mean_g = xf.reshape(b, t, groups, cg).mean(axis=(1, 3))  # [B, G]
+        mean_c = jnp.repeat(mean_g, cg, axis=-1)  # [B, C]
+        xc = xf - mean_c[:, None, :]
+        var = (xc * xc).reshape(b, t, groups, cg).mean(axis=(1, 3))
     inv = jax.lax.rsqrt(var + eps)
     scale = jnp.repeat(inv, cg, axis=-1) * gamma.astype(jnp.float32)
     y = xc * scale[:, None, :] + beta.astype(jnp.float32)[None, None, :]
