@@ -435,6 +435,45 @@ def test_ws_mid_stream_disconnect_then_reconnect(server_port):
     assert len(frames_out) >= 1
 
 
+def test_prompt_change_resets_warmup_and_uses_template():
+    """Mid-stream prompt change must reset the warmup accumulator and route
+    the new prompt through wrapper.prepare (which template-expands it) —
+    the reference demo's behaviour (demo/vid2vid.py:120-144)."""
+    calls = []
+
+    class _MockWrapper:
+        batch_size = 2
+
+        def prepare(self, prompt, frames, **kw):
+            calls.append(("prepare", prompt, len(frames)))
+
+        def __call__(self, frame):
+            calls.append(("step",))
+            return 255 - frame
+
+    pipe = DemoPipeline.__new__(DemoPipeline)
+    pipe.synthetic = False
+    pipe.warmup_buffer = []
+    pipe.current_prompt = None
+    pipe.stream = _MockWrapper()
+    import threading
+
+    pipe._lock = threading.Lock()
+
+    frame = np.full((8, 8, 3), 7, np.uint8)
+    for i in range(8):
+        assert pipe.predict({"prompt": "cat"}, frame) is None
+    assert calls == [("prepare", "cat", 8)]
+    assert pipe.predict({"prompt": "cat"}, frame) is not None
+
+    # prompt change: warmup restarts; nothing streams until 8 new frames
+    calls.clear()
+    for i in range(8):
+        assert pipe.predict({"prompt": "dog"}, frame) is None
+    assert calls == [("prepare", "dog", 8)]
+    assert pipe.predict({"prompt": "dog"}, frame) is not None
+
+
 class _WarmupFakePipeline:
     """predict() returns None for each user's first 8 frames (warming), then
     echoes inverted frames — the DemoPipeline warmup contract without jax."""
