@@ -502,6 +502,8 @@ class App:
                     "200 OK", json.dumps({"queue_size": self.manager.queue_size()}).encode()))
             elif path == "/" or path == "/index.html":
                 writer.write(http_response("200 OK", load_frontend(), "text/html"))
+            elif path.startswith("/static/"):
+                writer.write(serve_static(path[len("/static/"):]))
             else:
                 writer.write(http_response("404 Not Found", b'{"error":"not found"}'))
             await writer.drain()
@@ -607,13 +609,34 @@ class App:
 _STATIC_DIR = __import__("os").path.join(__import__("os").path.dirname(__file__), "static")
 
 
+_MIME = {
+    ".html": "text/html", ".css": "text/css",
+    ".js": "text/javascript", ".mjs": "text/javascript",
+    ".json": "application/json", ".svg": "image/svg+xml",
+    ".png": "image/png", ".ico": "image/x-icon",
+}
+
+
 def load_frontend() -> bytes:
-    """Static single-file app (demo/static/index.html)."""
+    """App shell (demo/static/index.html); modules load via /static/."""
     import os
 
     path = os.path.join(_STATIC_DIR, "index.html")
     with open(path, "rb") as f:
         return f.read()
+
+
+def serve_static(rel: str) -> bytes:
+    """Serve a frontend asset under demo/static/, refusing path escapes."""
+    import os
+
+    base = os.path.realpath(_STATIC_DIR)
+    full = os.path.realpath(os.path.join(base, rel))
+    if not full.startswith(base + os.sep) or not os.path.isfile(full):
+        return http_response("404 Not Found", b'{"error":"not found"}')
+    ctype = _MIME.get(os.path.splitext(full)[1], "application/octet-stream")
+    with open(full, "rb") as f:
+        return http_response("200 OK", f.read(), ctype)
 
 
 

@@ -10,6 +10,7 @@ import base64
 import io
 import json
 import os
+import re
 import socket
 import struct
 import threading
@@ -217,11 +218,48 @@ def test_settings_schema_and_frontend(server_port):
     head, body = _http_get(server_port, "/")
     assert b"200" in head.split(b"\r\n")[0]
     page = body.decode()
-    # static app: renders the form from /api/settings, supports screen share
-    assert "/api/settings" in page
-    assert "getDisplayMedia" in page
-    assert "getUserMedia" in page
-    assert "/api/queue" in page
+    # app shell loads the module app (ref frontend structure: lib/ + components/)
+    assert '/static/app.js' in page
+    assert '/static/style.css' in page
+
+    # walk the ES-module graph: every module the app imports must be served
+    # with a JS content-type and itself resolve its own imports
+    seen, queue = set(), ["app.js"]
+    sources = {}
+    while queue:
+        rel = queue.pop()
+        if rel in seen:
+            continue
+        seen.add(rel)
+        head, body = _http_get(server_port, f"/static/{rel}")
+        assert b"200" in head.split(b"\r\n")[0], rel
+        assert b"text/javascript" in head, rel
+        src = body.decode()
+        sources[rel] = src
+        base = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
+        for m in re.findall(r"from '([^']+)'", src):
+            # resolve ./ and ../ relative to the importing module
+            out = []
+            for p in (base + m).split("/"):
+                if p == "..":
+                    out.pop()
+                elif p not in (".", ""):
+                    out.append(p)
+            queue.append("/".join(out))
+    # the full reference-frontend surface, now split across modules
+    assert {"lib/store.js", "lib/lcmLive.js", "lib/mediaStream.js",
+            "components/pipelineOptions.js", "components/imagePlayer.js",
+            "components/videoInput.js"} <= seen
+    allsrc = "".join(sources.values())
+    for needle in ("/api/settings", "getDisplayMedia", "getUserMedia",
+                   "/api/queue", "next_frame", "enumerateDevices"):
+        assert needle in allsrc, needle
+
+    # path traversal out of demo/static/ must 404
+    head, _ = _http_get(server_port, "/static/../server.py")
+    assert b"404" in head.split(b"\r\n")[0]
+    head, _ = _http_get(server_port, "/static/nope.js")
+    assert b"404" in head.split(b"\r\n")[0]
 
 
 def _pump_user(port, uid, duration, counts):
