@@ -45,6 +45,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -56,9 +57,51 @@ BASELINE_FPS = 16.43  # 512x512, 2 steps
 
 _T0 = time.time()
 
+# Wall-clock budget (round-4 lesson: the driver's timeout killed the bench
+# at ~1728 s before the JSON line printed — rc=124, no official record).
+# The bench now (a) emits the headline JSON as soon as it exists and
+# re-emits after every optional row, so a kill at ANY point still leaves a
+# parseable last line; (b) gates each optional row on remaining budget
+# with measured cost estimates; (c) converts SIGTERM into emit-and-exit-0.
+_BUDGET_S = float(os.environ.get("LIVE2DIFF_BENCH_BUDGET_S", "1450"))
+
+# Shared mutable result for the signal handler / emit helper.
+_RESULT: dict = {}
+
 
 def stage(msg: str) -> None:
     print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def remaining() -> float:
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def emit() -> None:
+    """Print the current result JSON line (the driver parses the last one)."""
+    if "value" in _RESULT:
+        print(json.dumps(_RESULT), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ANN001
+    stage(f"signal {signum}: emitting current result and exiting")
+    emit()
+    # exit 0 if we have a headline to report; the partial record is valid
+    sys.exit(0 if "value" in _RESULT else 124)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+
+
+def phase_ok(name: str, est_s: float, slack_s: float = 45.0) -> bool:
+    """True if the optional phase fits the remaining budget."""
+    r = remaining()
+    if r < est_s + slack_s:
+        stage(f"skip {name}: est {est_s:.0f}s > remaining {r:.0f}s of "
+              f"{_BUDGET_S:.0f}s budget")
+        _RESULT.setdefault("skipped_rows", []).append(name)
+        return False
+    return True
 
 
 def parse_args() -> argparse.Namespace:
@@ -108,10 +151,17 @@ def parse_args() -> argparse.Namespace:
                    help="t_index_list (2 entries = reference speed-table setting)")
     # round-3 additions
     p.add_argument("--no-selftest", action="store_true",
-                   help="skip the on-chip Pallas kernel-vs-XLA selftest preamble")
+                   help="skip the on-chip Pallas kernel-vs-XLA selftest "
+                        "(now an optional trailing row, not a preamble)")
     p.add_argument("--no-psnr-check", action="store_true",
                    help="skip the int8-defaults vs bf16-exact output PSNR check")
-    p.add_argument("--psnr-frames", type=int, default=50)
+    p.add_argument("--psnr-frames", type=int, default=15)
+    p.add_argument("--budget", type=float, default=None,
+                   help="wall-clock budget in seconds (default env "
+                        "LIVE2DIFF_BENCH_BUDGET_S or 1450); optional rows "
+                        "are skipped when the estimated cost exceeds what "
+                        "remains, and the JSON line is re-emitted after "
+                        "every completed row")
     p.add_argument("--no-second-res", action="store_true",
                    help="skip the 768x512 row")
     p.add_argument("--no-burst", action="store_true",
@@ -342,7 +392,10 @@ def sessions_row(built, args, height, width, s: int) -> dict:
 
 
 def main() -> None:
+    global _BUDGET_S
     args = parse_args()
+    if args.budget is not None:
+        _BUDGET_S = args.budget
     if os.environ.get("LIVE2DIFF_BENCH_DEBUG"):
         import logging
 
@@ -364,21 +417,7 @@ def main() -> None:
         enable_compilation_cache()  # engines/xla_cache: skip ~minutes of recompiles
     stage("imports + cache ready")
 
-    result: dict = {}
-
-    # ---- on-chip kernel selftest preamble ---------------------------------
-    if not args.tiny and not args.no_selftest:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from tools.kernel_check import run_all
-
-        st = run_all(quick=True)
-        result["kernel_selftest"] = "pass" if st.pop("pass") else "fail"
-        worst = max((v["max_rel_err"] for v in st.values()), default=0.0)
-        result["kernel_selftest_worst_rel_err"] = worst
-        stage(f"kernel selftest: {result['kernel_selftest']} (worst rel err {worst:.4f})")
-        if result["kernel_selftest"] == "fail":
-            print(f"# kernel selftest FAILURES: "
-                  f"{ {k: v for k, v in st.items() if not v['ok']} }", file=sys.stderr)
+    result = _RESULT  # shared with the SIGTERM handler / emit()
 
     # ---- build -------------------------------------------------------------
     if args.tiny:
@@ -447,13 +486,30 @@ def main() -> None:
             "protocol": f"device-sync (chains of {max(args.chain, 1)}, p50)",
             **stats,
         })
+        # THE HEADLINE EXISTS — emit now, re-emit after every optional row.
+        # A driver kill at any later point still leaves a parseable record.
+        emit()
+
+        # Cost estimates for the optional rows, scaled from this run's own
+        # measured build/prepare/compile times (cache-state-aware: a cold
+        # XLA cache makes the measured times, and hence the estimates, grow
+        # together). Values in seconds.
+        row_s = result.get("build_s", 100) + prepare_s + compile_s
+        est = {
+            "burst": 0.7 * compile_s + 30,       # one extra program compile
+            "serving_window": 30,
+            "sessions": 0.5 * row_s + 60,        # MultiStream programs
+            "psnr_bf16_side": row_s + 40,        # full bf16 build+prepare+warm
+            "second_res": row_s + 60,            # full build at 768x512
+            "selftest": 180,
+        }
 
         # ---- burst row: N frames scanned inside ONE program ---------------
         # The offline/segment mode (ref test.py loop as one dispatch): pure
         # device throughput with zero per-dispatch host/RPC cost — on this
         # tunneled dev harness the chain protocol still pays an RPC per step
         # that a co-located host would not.
-        if not args.no_burst:
+        if not args.no_burst and phase_ok("burst", est["burst"]):
             try:
                 import jax
 
@@ -475,8 +531,10 @@ def main() -> None:
                       f"fps={1000.0 / bms:.2f}")
             except Exception as e:
                 stage(f"burst row failed: {e!r}")
+            emit()
 
-        if not args.no_serving_window and not args.tiny:
+        if (not args.no_serving_window and not args.tiny
+                and phase_ok("serving_window", est["serving_window"])):
             from live2diff_tpu.stream.client import PipelinedStream
 
             frames = [(rng.rand(height, width, 3) * 255).astype(np.uint8)
@@ -487,32 +545,45 @@ def main() -> None:
             t0 = time.perf_counter()
             n_out = sum(1 for _ in ps.map(frames))
             wall = time.perf_counter() - t0
+            state = ps.state  # donated: reclaim for the rows below
             sper = np.asarray(ps.frame_times)
             sp50 = float(np.percentile(sper, 50)) * 1000 if sper.size else 0.0
             result["serving_wall_fps"] = round(n_out / wall, 2)
             result["serving_p50_fps"] = round(1000.0 / sp50, 2) if sp50 else 0.0
             stage(f"serving window (tunnel-bound): wall {n_out / wall:.2f} fps, "
                   f"p50 {sp50:.1f}ms")
+            emit()
 
-        del state  # consumed by the serving window; free before the rows
+        del state  # free before the rows
 
         # Phase ordering is memory-driven: the sessions row needs 4 session
         # states (~6 GB int8) next to the int8 pipeline; the bf16 psnr side
         # and the 768x512 row each need their own full pipeline. At most one
-        # pipeline lives at a time; free_pipeline() between phases.
+        # pipeline lives at a time; free between phases. Priority when the
+        # budget is short: sessions > 768x512 > psnr > selftest (the 768 row
+        # tracks a reference-table number; psnr tracks our own default).
 
         # ---- multi-session aggregate row -----------------------------------
-        if not args.tiny and not args.no_sessions_row:
+        if (not args.tiny and not args.no_sessions_row
+                and phase_ok("sessions", est["sessions"])):
             try:
                 result.update(sessions_row(built, args, height, width, 4))
             except Exception as e:  # keep the headline even if this row dies
                 stage(f"sessions row failed: {e!r}")
                 result["aggregate_fps_4sessions"] = None
             collect_now()  # the session states
+            emit()
 
         # ---- int8-vs-bf16 end-to-end accuracy of the serving defaults -----
+        # (collect the int8 side now while `built` is alive; the expensive
+        # bf16 build happens after the pipeline is freed, budget permitting)
+        second_res_wanted = (not args.tiny and not args.no_second_res
+                             and (width, height) != (768, 512))
         run_psnr = (not args.tiny and not args.no_psnr_check
-                    and (args.kv_cache == "int8" or args.spatial_qk == "int8"))
+                    and (args.kv_cache == "int8" or args.spatial_qk == "int8")
+                    and phase_ok(
+                        "psnr_bf16_side", est["psnr_bf16_side"]
+                        + (est["second_res"] if second_res_wanted else 0)))
         outs_int8 = None
         if run_psnr:
             outs_int8 = run_stream_outputs(
@@ -522,24 +593,15 @@ def main() -> None:
         del built, stream
         collect_now()
 
-        if run_psnr:
-            try:
-                (result["psnr_int8_vs_bf16"], result["snr_int8_vs_bf16"],
-                 result["output_std_int8_check"]) = psnr_bf16_side(args, outs_int8)
-                result["psnr_frames"] = args.psnr_frames
-            except Exception as e:
-                stage(f"psnr bf16 side failed: {e!r}")
-                result["psnr_int8_vs_bf16"] = None
-
         # ---- second resolution row (reference table: 768x512 = 12.15) ------
-        if not args.tiny and not args.no_second_res and (width, height) != (768, 512):
+        if second_res_wanted and phase_ok("second_res", est["second_res"]):
             try:
                 built2 = build(args, 512, 768, args.kv_cache, args.spatial_qk)
                 prompt2 = encode_prompt_for_pipeline(
                     built2, "masterpiece, best quality, a benchmark")
                 st2, p2, c2 = prepare_and_warm(
                     built2.stream, prompt2, args, 512, 768, rng)
-                stats2, _ = device_protocol(
+                stats2, st2 = device_protocol(
                     built2.stream, st2, args, 512, 768, rng,
                     args.second_res_frames, args.chain)
                 result["fps_mean_768x512"] = stats2["fps_mean"]
@@ -548,7 +610,9 @@ def main() -> None:
                     stats2["fps_p50"] / _BASELINES[(768, 512)], 3)
                 stage(f"768x512: p50 {stats2['fps_p50']} fps "
                       f"(baseline 12.15, x{result['vs_baseline_768x512']})")
-                if not args.no_burst:
+                emit()
+                if not args.no_burst and phase_ok(
+                        "burst_768", 0.7 * compile_s + 30):
                     import jax
 
                     bn = max(args.chain, 1)
@@ -569,14 +633,46 @@ def main() -> None:
                     stage(f"768x512 burst({bn}): {bms:.2f} ms/frame "
                           f"fps={1000.0 / bms:.2f} "
                           f"(x{result['vs_baseline_768x512_burst']})")
+                del built2, st2
+                collect_now()
             except Exception as e:
                 stage(f"768x512 row failed: {e!r}")
                 result["fps_mean_768x512"] = None
+            emit()
+
+        if run_psnr and phase_ok("psnr_bf16_side", est["psnr_bf16_side"]):
+            try:
+                (result["psnr_int8_vs_bf16"], result["snr_int8_vs_bf16"],
+                 result["output_std_int8_check"]) = psnr_bf16_side(args, outs_int8)
+                result["psnr_frames"] = args.psnr_frames
+            except Exception as e:
+                stage(f"psnr bf16 side failed: {e!r}")
+                result["psnr_int8_vs_bf16"] = None
+            collect_now()
+            emit()
+
+        # ---- on-chip kernel selftest (moved from preamble to trailing row:
+        # it cost 162 s before the headline in round 4) --------------------
+        if (not args.tiny and not args.no_selftest
+                and phase_ok("selftest", est["selftest"])):
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.kernel_check import run_all
+
+            st = run_all(quick=True)
+            result["kernel_selftest"] = "pass" if st.pop("pass") else "fail"
+            worst = max((v["max_rel_err"] for v in st.values()), default=0.0)
+            result["kernel_selftest_worst_rel_err"] = worst
+            stage(f"kernel selftest: {result['kernel_selftest']} "
+                  f"(worst rel err {worst:.4f})")
+            if result["kernel_selftest"] == "fail":
+                print(f"# kernel selftest FAILURES: "
+                      f"{ {k: v for k, v in st.items() if not v['ok']} }",
+                      file=sys.stderr)
 
         print(f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
               f"headline mean {result['frame_ms_mean']}ms fps={result['value']}",
               file=sys.stderr)
-        print(json.dumps(result))
+        emit()
         return
 
     if protocol == "sync":
