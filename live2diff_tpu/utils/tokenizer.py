@@ -12,24 +12,145 @@ inside an SD checkpoint directory.
 from __future__ import annotations
 
 import functools
-import gzip
-import html
 import json
 import os
-import re
+import unicodedata
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-_TOKEN_PATTERN = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
-    re.IGNORECASE,
-) if False else None  # \p classes need `regex`; python re fallback below
+# CLIP's pre-tokenizer pattern (transformers CLIPTokenizer / openai CLIP):
+#   <|startoftext|>|<|endoftext|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+
+# Python's stdlib `re` has no \p{L}/\p{N} classes. When the third-party
+# `regex` module is importable (it is wherever transformers runs) we use the
+# exact pattern; `_clip_token_split` below is an equivalent hand-rolled
+# scanner over full Unicode categories (unicodedata) used as the zero-dep
+# fallback: maximal letter runs (category L*), SINGLE number chars (N*), and
+# maximal runs of everything else that isn't whitespace. Equivalent to the
+# regex because the alternation is tried left-to-right at each new match
+# position and the classes are disjoint (no backtracking can change a match).
 
-_FALLBACK_PATTERN = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
+try:
+    import regex as _regex
+
+    _TOKEN_PATTERN = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+        r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex is present in this image
+    _TOKEN_PATTERN = None
+
+_SPECIAL_TOKENS = ("<|startoftext|>", "<|endoftext|>")
+# regex alternation order (first match wins at a given position)
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _is_letter(ch: str) -> bool:
+    return unicodedata.category(ch).startswith("L")
+
+
+def _is_number(ch: str) -> bool:
+    return unicodedata.category(ch).startswith("N")
+
+
+def _clip_token_split(text: str) -> List[str]:
+    """Split ``text`` exactly as CLIP's pre-tokenizer regex would."""
+    tokens: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        matched = False
+        for sp in _SPECIAL_TOKENS:
+            if text[i:i + len(sp)].lower() == sp:
+                tokens.append(text[i:i + len(sp)])
+                i += len(sp)
+                matched = True
+                break
+        if matched:
+            continue
+        if ch == "'":
+            for c in _CONTRACTIONS:
+                if text[i:i + len(c)].lower() == c:
+                    tokens.append(text[i:i + len(c)])
+                    i += len(c)
+                    matched = True
+                    break
+            if matched:
+                continue
+        if _is_letter(ch):
+            j = i + 1
+            while j < n and _is_letter(text[j]):
+                j += 1
+        elif _is_number(ch):
+            j = i + 1  # [\p{N}] matches a single char
+        else:
+            j = i + 1
+            while j < n:
+                c = text[j]
+                if c.isspace() or _is_letter(c) or _is_number(c):
+                    break
+                j += 1
+        tokens.append(text[i:j])
+        i = j
+    return tokens
+
+
+def clip_pretokenize(text: str) -> List[str]:
+    """CLIP pre-tokenizer split: exact `regex` pattern when available,
+    unicodedata scanner otherwise (the two agree; tested)."""
+    if _TOKEN_PATTERN is not None:
+        return _TOKEN_PATTERN.findall(text)
+    return _clip_token_split(text)
+
+
+# -- normalization: transformers.CLIPTokenizer's no-ftfy path ---------------
+# The reference depends on bare `transformers` (/root/reference/setup.py:6),
+# so the deployed tokenizer runs WITHOUT ftfy and normalizes through
+# BasicTokenizer(strip_accents=False, do_split_on_punc=False):
+# control-char removal, CJK char isolation, NFC, whitespace split,
+# per-token lowercase, rejoin (transformers tokenization_clip.py _tokenize).
+# We replicate that path exactly for token-id parity.
+
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
 )
+
+
+def _is_cjk(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_ws(ch: str) -> bool:
+    return ch in (" ", "\t", "\n", "\r") or unicodedata.category(ch) == "Zs"
+
+
+def clip_normalize(text: str) -> str:
+    """Normalize as transformers' CLIPTokenizer does without ftfy."""
+    cleaned = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        if _is_ws(ch):
+            cleaned.append(" ")
+        elif _is_cjk(cp):
+            cleaned.append(f" {ch} ")
+        else:
+            cleaned.append(ch)
+    text = unicodedata.normalize("NFC", "".join(cleaned))
+    return " ".join(tok.lower() for tok in text.split())
 
 
 @functools.lru_cache()
@@ -48,10 +169,6 @@ def bytes_to_unicode() -> Dict[int, str]:
             cs.append(256 + n)
             n += 1
     return dict(zip(bs, [chr(c) for c in cs]))
-
-
-def whitespace_clean(text: str) -> str:
-    return re.sub(r"\s+", " ", text).strip()
 
 
 class CLIPTokenizer:
@@ -152,7 +269,7 @@ class CLIPTokenizer:
         self.decoder[token_id] = token
 
     def tokenize(self, text: str) -> List[int]:
-        text = whitespace_clean(html.unescape(html.unescape(text))).lower()
+        text = clip_normalize(text)
         ids: List[int] = []
         # split on added tokens first so they stay atomic
         segments = [text]
@@ -173,7 +290,7 @@ class CLIPTokenizer:
             if isinstance(seg, int):
                 ids.append(seg)
                 continue
-            for token in _FALLBACK_PATTERN.findall(seg):
+            for token in _clip_token_split(seg):
                 token_bytes = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
                 for bpe_token in self._bpe(token_bytes).split(" "):
                     ids.append(self.encoder.get(bpe_token, self.eos_token_id))
