@@ -161,7 +161,6 @@ class BatchedDemoPipeline:
         self._free = list(range(sessions))
         self._warm: Dict[str, list] = {}
         self._prompt: Dict[str, str] = {}
-        self._last_frame: Dict[int, np.ndarray] = {}
         self._states = None
         self.multi = None
         if not synthetic:
@@ -190,7 +189,6 @@ class BatchedDemoPipeline:
         self._prompt.pop(user_id, None)
         if slot is not None:
             self._free.append(slot)
-            self._last_frame.pop(slot, None)
 
     def predict_batch(self, batch: Dict[str, tuple]) -> Dict[str, Optional[np.ndarray]]:
         """{uid: (params, frame)} -> {uid: output frame or None (warming)}."""
@@ -226,13 +224,16 @@ class BatchedDemoPipeline:
 
         if not fresh or self._states is None:
             return outs
+        # Idle-but-warm slots are masked OUT of the state update (active
+        # mask): no frame => no step, same as the single-user path. Their
+        # lanes still execute (static batch shape) but the results are
+        # discarded inside the compiled program.
         frames = np.zeros((self.sessions, self.height, self.width, 3), np.uint8)
-        for slot, f in self._last_frame.items():
-            frames[slot] = f  # warm-but-idle slots step on their last frame
+        active = np.zeros((self.sessions,), bool)
         for uid, f in fresh.items():
             frames[self._slots[uid]] = f
-            self._last_frame[self._slots[uid]] = f
-        self._states, out = self.multi(self._states, frames)
+            active[self._slots[uid]] = True
+        self._states, out = self.multi(self._states, frames, active)
         out = np.asarray(out)
         for uid in fresh:
             outs[uid] = out[self._slots[uid]]

@@ -45,10 +45,25 @@ def _programs_for(stream: StreamDiffusionDepth, num_sessions: int):
         per_stream = stream._multi_programs = {}
     progs = per_stream.get(num_sessions)
     if progs is None:
+        def _masked_step(params, state, frame, prompt, active):
+            """Step one session; keep the old state if not ``active``.
+
+            Idle-but-warm demo slots must NOT advance their temporal KV
+            window on replayed frames (VERDICT r4 item 9: an idle user's
+            context silently filled with duplicates). The select runs
+            inside the donated program, so the idle path costs only the
+            final state writeback, no extra HBM residency.
+            """
+            new_state, out = stream._frame_step(params, state, frame, prompt)
+            keep = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(active, n, o), new_state, state
+            )
+            return keep, out
+
         progs = (
-            # vmap over (state, frame, prompt); params broadcast
+            # vmap over (state, frame, prompt, active); params broadcast
             jax.jit(
-                jax.vmap(stream._frame_step, in_axes=(None, 0, 0, 0)),
+                jax.vmap(_masked_step, in_axes=(None, 0, 0, 0, 0)),
                 donate_argnums=(1,),
             ),
             jax.jit(
@@ -173,10 +188,19 @@ class MultiStream:
         states = self._write_slot(states, st, index)
         return states, np.asarray(out)
 
-    def __call__(self, states: StreamState, frames: np.ndarray):
-        """frames: [S, H, W, 3] -> (states, [S, H, W, 3] outputs on device)."""
+    def __call__(self, states: StreamState, frames: np.ndarray, active=None):
+        """frames: [S, H, W, 3] -> (states, [S, H, W, 3] outputs on device).
+
+        ``active``: optional [S] bool — sessions marked False run through
+        the batched program (the batch shape is static) but their state
+        update is discarded, so an idle stream's KV window, PE indices and
+        RNG are untouched. Default: all sessions active.
+        """
         if self._prompts is None:
             raise RuntimeError("call prepare() first")
+        if active is None:
+            active = jnp.ones((self.num_sessions,), jnp.bool_)
         return self._jit_step(
-            self.stream.params, states, jnp.asarray(frames), self._prompts
+            self.stream.params, states, jnp.asarray(frames), self._prompts,
+            jnp.asarray(active),
         )

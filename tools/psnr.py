@@ -15,8 +15,6 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
@@ -48,4 +46,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # direct-invocation convenience only: importing this module must not
+    # let repo-root modules shadow site-packages (ADVICE r4)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     main()
