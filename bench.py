@@ -191,7 +191,8 @@ def make_config(steps) -> dict:
     }
 
 
-def build(args, height, width, kv_cache: str, spatial_qk: str):
+def build(args, height, width, kv_cache: str, spatial_qk: str,
+          try_aot: bool = True):
     """Build the full pipeline at the given settings (flash variant is an
     env knob read at trace time, ops/attention.py:293)."""
     import jax.numpy as jnp
@@ -199,13 +200,23 @@ def build(args, height, width, kv_cache: str, spatial_qk: str):
     from live2diff_tpu.builder import build_pipeline
 
     os.environ["LIVE2DIFF_FLASH"] = "int8" if spatial_qk == "int8" else "dmajor"
-    return build_pipeline(
+    built = build_pipeline(
         make_config(args.steps), height=height, width=width,
         use_depth=not args.no_depth, dtype=jnp.bfloat16,
         kv_cache_dtype=kv_cache,
         # uint8 in AND out: as served (4x smaller downloads over the tunnel)
         output_uint8=True,
     )
+    if try_aot:
+        # serialized-executable warm start (skips trace+lower+compile; the
+        # TensorRT-engine-load analogue). Miss => ordinary jit + XLA cache.
+        from live2diff_tpu import aot
+
+        t0 = time.time()
+        built.stream._aot_hit = aot.load_executables(built.stream, "engines/aot")
+        if built.stream._aot_hit:
+            stage(f"aot executables loaded ({time.time() - t0:.1f}s)")
+    return built
 
 
 def prepare_and_warm(stream, prompt, args, height, width, rng):
@@ -464,6 +475,9 @@ def main() -> None:
         stream, prompt, args, height, width, rng)
     result["prepare_s"] = round(prepare_s, 1)
     result["first_step_compile_s"] = round(compile_s, 1)
+    if not args.tiny:
+        result["aot_hit"] = bool(getattr(stream, "_aot_hit", False))
+        result["aot_load_s"] = round(getattr(stream, "_aot_load_s", 0.0), 1)
 
     protocol = "sync" if args.sync else args.protocol
 
@@ -489,6 +503,16 @@ def main() -> None:
         # THE HEADLINE EXISTS — emit now, re-emit after every optional row.
         # A driver kill at any later point still leaves a parseable record.
         emit()
+
+        if (not args.tiny and not result.get("aot_hit")
+                and phase_ok("aot_prime", 180)):
+            # prime the AOT store for the NEXT process (one-time per config;
+            # the compile half rides this run's XLA cache entries)
+            from live2diff_tpu import aot
+
+            t0 = time.time()
+            if aot.save_executables(stream, "engines/aot") is not None:
+                stage(f"aot executables saved ({time.time() - t0:.1f}s)")
 
         # Cost estimates for the optional rows, scaled from this run's own
         # measured build/prepare/compile times (cache-state-aware: a cold

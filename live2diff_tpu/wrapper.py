@@ -109,6 +109,27 @@ class StreamV2VWrapper:
             )
         self.stream = self.built.stream
         self.batch_size = self.built.schedule.num_steps
+        self._aot_dir = os.path.join(engine_dir, "aot")
+        # serialized-executable warm start (TensorRT engine-load analogue):
+        # a hit skips trace+lower+compile of both big programs; a miss is a
+        # silent no-op and the jit + persistent-cache path applies
+        # (uint8 camera frames are the serving norm; a float32 feed simply
+        # falls back to the jit path via the loader's guard)
+        try:
+            from .aot import load_executables
+
+            self.aot_hit = load_executables(
+                self.stream, self._aot_dir, frame_dtype=np.uint8)
+        except Exception:
+            self.aot_hit = False
+
+    def prime_aot(self) -> bool:
+        """Serialize this config's compiled programs into the engine dir so
+        future processes warm-start (run once per config/resolution)."""
+        from .aot import save_executables
+
+        return save_executables(
+            self.stream, self._aot_dir, frame_dtype=np.uint8) is not None
 
         self.similar_filter = (
             SimilarImageFilter(similar_image_filter_threshold,

@@ -1,0 +1,60 @@
+"""AOT executable serialization roundtrip (live2diff_tpu/aot.py).
+
+Save both stream programs as serialized executables, swap them into the
+stream, and verify the outputs are bit-compatible with the jit path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+H = W = 64
+
+
+def test_aot_save_load_roundtrip(tiny_pipeline, tmp_path):
+    from live2diff_tpu import aot
+
+    stream = tiny_pipeline
+    key = aot.save_executables(
+        stream, str(tmp_path), frame_dtype=np.float32, prompt_len=7)
+    if key is None:
+        pytest.skip("executable serialization unsupported on this backend")
+
+    rng = np.random.RandomState(0)
+    warmup = rng.rand(8, H, W, 3).astype(np.float32) * 2 - 1
+    prompt = jnp.asarray(rng.randn(1, 7, 12), jnp.float32)
+    frame = rng.rand(H, W, 3).astype(np.float32) * 2 - 1
+
+    state, _ = stream.prepare(warmup, prompt, seed=5)
+    state, out_ref = stream(state, frame)
+    out_ref = np.asarray(out_ref)
+
+    orig = (stream._jit_prepare, stream._jit_step)
+    try:
+        assert aot.load_executables(
+            stream, str(tmp_path), frame_dtype=np.float32, prompt_len=7)
+        assert stream._aot_load_s >= 0
+        state2, _ = stream.prepare(warmup, prompt, seed=5)
+        state2, out_aot = stream(state2, frame)
+        np.testing.assert_allclose(
+            np.asarray(out_aot), out_ref, rtol=2e-5, atol=2e-5,
+            err_msg="AOT-deserialized executable diverged from jit path")
+
+        # dtype drift falls back to the jit path instead of crashing
+        state3, _ = stream.prepare(warmup, prompt, seed=5)
+        state3, out_fb = stream(state3, frame.astype(np.float64).astype(np.float32))
+        assert np.asarray(out_fb).shape == out_ref.shape
+    finally:
+        stream._jit_prepare, stream._jit_step = orig
+
+
+def test_aot_key_distinguishes_configs(tiny_pipeline, tmp_path):
+    from live2diff_tpu import aot
+
+    k1 = aot._aot_key(tiny_pipeline, np.float32, 7)
+    k2 = aot._aot_key(tiny_pipeline, np.uint8, 7)
+    k3 = aot._aot_key(tiny_pipeline, np.float32, 77)
+    assert len({k1, k2, k3}) == 3
+    assert not aot.load_executables(tiny_pipeline, str(tmp_path))  # miss is a no-op
