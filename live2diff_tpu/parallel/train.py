@@ -122,8 +122,10 @@ def make_train_step(
     return jax.jit(
         train_step,
         donate_argnums=(0,),
-        in_shardings=(None, {"latents": batch_sharding, "text": batch_sharding,
-                             "depth": batch_sharding}),
+        # one sharding for every batch leaf (latents/text/optional depth all
+        # lead with the clip axis) — a fixed key-set here rejected batches
+        # without depth
+        in_shardings=(None, batch_sharding),
         out_shardings=(None, repl),
     )
 
