@@ -37,27 +37,29 @@ from .layers import FusedGroupNorm, FusedLayerNorm, GEGLUFeedForward, sinusoidal
 
 # [steps, 2, window, C, HW] bf16 (window-major, positions on lanes), or — in
 # int8 cache mode — a (data int8 [steps,2,window,C,HW], scales f32
-# [steps,2,window,heads]) tuple with symmetric per-(slot, head) quantisation.
+# [steps,2,window,C]) tuple with symmetric per-(slot, CHANNEL) quantisation
+# (absmax over spatial positions only — one outlier channel cannot collapse
+# its neighbours' resolution; the kernel folds K scales into its head-mask
+# matmul so the granularity is dequantisation-free).
 # int8 halves both cache HBM capacity (3.0 GB/session at 512x512 -> 1.5 GB)
 # and the stream-attention kernel's cache read bandwidth.
 KVCache = Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]
 
 
-def _quantize_kv(x: jnp.ndarray, heads: int, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric int8 quantisation with per-head scales.
+def _quantize_kv(x: jnp.ndarray, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantisation with per-channel scales.
 
-    x: [..., C] with C = heads*dh; ``axes`` are the axes to reduce the
-    absmax over **after** the head split (C axis becomes (heads, dh)).
+    x: [..., C]; ``axes`` are the (spatial) axes to reduce the absmax over.
     Returns (int8 values, f32 scales with the reduced axes dropped).
     """
-    xh = x.reshape(*x.shape[:-1], heads, x.shape[-1] // heads)
-    amax = jnp.max(jnp.abs(xh.astype(jnp.float32)), axis=axes)
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axes)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     expand = scale
     for a in sorted(axes):
         expand = jnp.expand_dims(expand, a)
-    q = jnp.clip(jnp.round(xh.astype(jnp.float32) / expand), -127, 127).astype(jnp.int8)
-    return q.reshape(x.shape), scale
+    q = jnp.clip(jnp.round(xf / expand), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def write_kv_stream(
@@ -79,11 +81,11 @@ def write_kv_stream(
     if isinstance(cache, tuple):
         data, scales = cache
         steps = data.shape[0]
-        k8, ks = _quantize_kv(k, heads, (1, 3))  # [steps,HW,C] -> scales [steps,heads]
-        v8, vs = _quantize_kv(v, heads, (1, 3))
+        k8, ks = _quantize_kv(k, (1,))  # [steps,HW,C] -> scales [steps,C]
+        v8, vs = _quantize_kv(v, (1,))
         kv = jnp.stack([k8, v8], axis=1)  # [steps, 2, HW, C] int8
         kv = jnp.swapaxes(kv, -1, -2)  # [steps, 2, C, HW]
-        sc = jnp.stack([ks, vs], axis=1)  # [steps, 2, heads] f32
+        sc = jnp.stack([ks, vs], axis=1)  # [steps, 2, C] f32
         for i in range(steps):
             data = jax.lax.dynamic_update_slice(
                 data, kv[i : i + 1, :, None], (i, 0, update_idx[i], 0, 0)
@@ -112,11 +114,11 @@ def write_kv_warmup(
     """
     if isinstance(cache, tuple):
         data, scales = cache
-        k8, ks = _quantize_kv(k, heads, (0, 3))  # [HW,F,C] -> scales [F,heads]
-        v8, vs = _quantize_kv(v, heads, (0, 3))
+        k8, ks = _quantize_kv(k, (0,))  # [HW,F,C] -> scales [F,C]
+        v8, vs = _quantize_kv(v, (0,))
         kv = jnp.stack([k8, v8], axis=0)  # [2, HW, F, C]
         kv = jnp.transpose(kv, (0, 2, 3, 1))[None]  # [1, 2, F, C, HW]
-        sc = jnp.stack([ks, vs], axis=0)[None]  # [1, 2, F, heads]
+        sc = jnp.stack([ks, vs], axis=0)[None]  # [1, 2, F, C]
         data = jax.lax.dynamic_update_slice(data, kv, (step_idx, 0, 0, 0, 0))
         scales = jax.lax.dynamic_update_slice(scales, sc, (step_idx, 0, 0, 0))
         return (data, scales)

@@ -124,15 +124,21 @@ class UNetConfig:
         self, latent_height: int, latent_width: int, num_steps: int, dtype=jnp.bfloat16
     ):
         """Zeroed KV-caches; ``dtype=jnp.int8`` selects the quantised cache
-        layout (per-layer ``(int8 data, f32 per-(slot, head) scales)`` pairs
-        — half the HBM capacity and stream-attention read bandwidth)."""
+        layout (per-layer ``(int8 data, f32 per-(slot, CHANNEL) scales)``
+        pairs — half the HBM capacity and stream-attention read bandwidth).
+
+        Per-channel granularity (r5; was per-(slot, head)): the absmax is
+        reduced over spatial positions only, so one outlier channel no
+        longer collapses the resolution of its whole head — the published
+        failure mode of int8 KV on real SD weights. The kernel folds the
+        K scales into its head-mask matmul operand, so the finer
+        granularity is dequantisation-free (ops/stream_attention.py)."""
         shapes = self.cache_shapes(latent_height, latent_width, num_steps)
         if dtype == jnp.int8:
-            heads = self.motion_num_attention_heads
             return tuple(
                 (
                     jnp.zeros(s, dtype=jnp.int8),
-                    jnp.ones((s[0], 2, s[2], heads), jnp.float32),
+                    jnp.ones((s[0], 2, s[2], s[3]), jnp.float32),
                 )
                 for s in shapes
             )

@@ -193,18 +193,15 @@ def stream_window_attention(
         )
         extra = pe_logits * scale + bias.astype(jnp.float32)[:, :, None, None]
         if quantized:
-            scales = kv_cache[1]  # [s, 2, window, heads] f32
-            k_scales_t = jnp.swapaxes(scales[:, 0], 1, 2)  # [s, heads, window]
-            # expand V's per-head scales to channels, pe_v-style layout
-            v_scales_c = jnp.repeat(
-                jnp.swapaxes(scales[:, 1], 1, 2), dh, axis=1
-            )  # [s, C, window]
+            scales = kv_cache[1]  # [s, 2, window, C] f32 per-(slot, channel)
+            k_scales_c = jnp.swapaxes(scales[:, 0], 1, 2)  # [s, C, window]
+            v_scales_c = jnp.swapaxes(scales[:, 1], 1, 2)  # [s, C, window]
             out_t = stream_window_attention_kernel_int8(
                 jnp.swapaxes(q_full, 1, 2),
                 cache_data,
                 extra,
                 jnp.swapaxes(pe_v, 1, 2).astype(jnp.float32),  # [s, C, window]
-                k_scales_t.astype(jnp.float32),
+                k_scales_c.astype(jnp.float32),
                 v_scales_c.astype(jnp.float32),
                 scale=float(scale),
                 heads=heads,
@@ -224,9 +221,9 @@ def stream_window_attention(
     pe_logits = jnp.einsum("sphd,swhd->spwh", qh, pkh, preferred_element_type=jnp.float32)
     extra = pe_logits * scale + bias.astype(jnp.float32)[:, None, :, None]
     if quantized:
-        scales = kv_cache[1].astype(jnp.float32)  # [s, 2, window, heads]
-        dq = cache_data.astype(jnp.float32).reshape(s, 2, window, heads, dh, hw)
-        dq = dq * scales[..., None, None]
+        scales = kv_cache[1].astype(jnp.float32)  # [s, 2, window, C]
+        dq = cache_data.astype(jnp.float32) * scales[..., None]
+        dq = dq.reshape(s, 2, window, heads, dh, hw)
         kch = dq[:, 0].astype(dt)
         vch = dq[:, 1].astype(dt)
     else:

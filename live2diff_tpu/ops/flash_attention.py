@@ -193,15 +193,18 @@ def flash_self_attention_dmajor(
     return jnp.swapaxes(out, 2, 3)
 
 
-def _flash_kernel_dmajor_int8(q_ref, k_ref, v_ref, s_ref, o_ref, m_ref, l_ref,
-                              acc_ref, *, kv_steps):
-    """D-major flash attention with int8 QK (int8 MXU runs 2x bf16 rate).
+def _flash_kernel_dmajor_int8(q_ref, k_ref, v_ref, o_ref, q8_ref, sq_ref,
+                              m_ref, l_ref, acc_ref, *, scale, kv_steps):
+    """D-major flash attention with IN-KERNEL int8 QK quantisation.
 
-    q/k arrive quantised per (batch, head) with symmetric scales folded into
-    ``s_ref`` (= sq * sk * softmax_scale, SMEM scalar). K is mean-centred
-    along the key axis before quantisation: softmax is shift-invariant per
-    query row, so the dropped ``q . k_mean`` term is EXACT, and centring
-    removes the dominant outlier mass from the int8 range. V stays bf16 —
+    q/k arrive bf16; each tile is quantised in VMEM right before the MXU
+    (q once per q-tile at ki==0, cached in int8 scratch; k per kv step).
+    This replaces the former host-graph pre-pass (f32 casts, K centring,
+    rounding, per-(b,h) scale reductions — ~6 full HBM passes and ~10 small
+    ops per call, the `fusion f32[2,8]` swarm in the r4 trace) with a few
+    VPU passes over data already resident in VMEM. Per-TILE symmetric
+    scales are also strictly finer-grained than the old per-(b,h) global
+    scales — outliers only cost their own tile resolution. V stays bf16 —
     probs quantisation is where accuracy actually goes."""
     ki = pl.program_id(3)
 
@@ -210,12 +213,19 @@ def _flash_kernel_dmajor_int8(q_ref, k_ref, v_ref, s_ref, o_ref, m_ref, l_ref,
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        qf = q_ref[0, 0].astype(jnp.float32)  # [D, bq]
+        s_q = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-12) / 127.0
+        sq_ref[0] = s_q
+        q8_ref[...] = jnp.round(qf * (1.0 / s_q)).astype(jnp.int8)
 
-    q = q_ref[0, 0]  # [D, bq] int8
-    k = k_ref[0, 0]  # [D, bk] int8
+    kf = k_ref[0, 0].astype(jnp.float32)  # [D, bk]
+    s_k = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-12) / 127.0
+    k8 = jnp.round(kf * (1.0 / s_k)).astype(jnp.int8)
+
     s = jax.lax.dot_general(
-        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    ).astype(jnp.float32) * s_ref[pl.program_id(0), pl.program_id(1)]  # [bk, bq]
+        k8, q8_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (s_k * sq_ref[0] * scale)  # [bk, bq]
 
     m_prev = m_ref[...]
     l_prev = l_ref[...]
@@ -251,11 +261,9 @@ def flash_self_attention_int8(
     block_q: int = 512,
     block_k: int = 1024,
 ) -> jnp.ndarray:
-    """Unmasked SDPA with int8-quantised QK, ``[B, H, S, D]`` in/out.
-
-    Per-(batch, head) symmetric scales; K mean-centred along S (exact under
-    softmax). fp32 softmax, bf16 PV. ~1% logit noise — comparable to the
-    bf16 rounding the rest of the pipeline already carries."""
+    """Unmasked SDPA with int8 QK quantised per-tile IN the kernel,
+    ``[B, H, S, D]`` in/out. fp32 softmax, bf16 PV. ~1% logit noise —
+    comparable to the bf16 rounding the rest of the pipeline carries."""
     b, h, sq_len, d = q.shape
     sk_len = k.shape[2]
     block_q = pick_block(sq_len, block_q)
@@ -265,19 +273,10 @@ def flash_self_attention_int8(
     kv_steps = sk_len // block_k
 
     qt, kt, vt = (jnp.swapaxes(x, 2, 3) for x in (q, k, v))  # [B, H, D, S]
-    kf = kt.astype(jnp.float32)
-    kc = kf - kf.mean(axis=3, keepdims=True)
-    qf = qt.astype(jnp.float32)
-    sq = jnp.max(jnp.abs(qf), axis=(2, 3)) / 127.0  # [B, H]
-    sk = jnp.max(jnp.abs(kc), axis=(2, 3)) / 127.0
-    sq = jnp.maximum(sq, 1e-12)
-    sk = jnp.maximum(sk, 1e-12)
-    q8 = jnp.round(qf / sq[:, :, None, None]).astype(jnp.int8)
-    k8 = jnp.clip(jnp.round(kc / sk[:, :, None, None]), -127, 127).astype(jnp.int8)
-    scales = (sq * sk * scale).astype(jnp.float32)  # [B, H]
 
     grid = (b, h, sq_len // block_q, kv_steps)
-    kernel = functools.partial(_flash_kernel_dmajor_int8, kv_steps=kv_steps)
+    kernel = functools.partial(
+        _flash_kernel_dmajor_int8, scale=scale, kv_steps=kv_steps)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
@@ -295,16 +294,14 @@ def flash_self_attention_int8(
                 (1, 1, d, block_k), lambda b, h, qi, ki: (b, h, 0, ki),
                 memory_space=pltpu.VMEM,
             ),
-            # whole [B, H] scale table in SMEM (TPU lowering rejects sub-array
-            # SMEM blocks); kernel indexes it by program_id
-            pl.BlockSpec((b, h), lambda b_, h_, qi, ki: (0, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, d, block_q), lambda b, h, qi, ki: (b, h, 0, qi),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
+            pltpu.VMEM((d, block_q), jnp.int8),      # quantised q tile
+            pltpu.SMEM((1,), jnp.float32),           # q tile scale
             pltpu.VMEM((8, block_q), jnp.float32),
             pltpu.VMEM((8, block_q), jnp.float32),
             pltpu.VMEM((d, block_q), jnp.float32),
@@ -312,7 +309,7 @@ def flash_self_attention_int8(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-    )(q8, k8, vt, scales)
+    )(qt, kt, vt)
     return jnp.swapaxes(out, 2, 3)
 
 

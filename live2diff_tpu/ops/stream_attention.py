@@ -141,27 +141,34 @@ def _kernel_int8(
 ):
     """Same attention as ``_kernel`` over an int8 cache.
 
-    Dequantisation is nearly free at per-(slot, head) granularity: the K
-    scale multiplies the post-matmul ``[heads, bp]`` logits (40x smaller
-    than the ``[C, bp]`` operand), and the V scale arrives pre-expanded to
-    channels in the same tiny ``[C, window]`` layout as ``pe_v``.
+    Dequantisation is free even at per-(slot, CHANNEL) granularity: the K
+    scales fold into the ``[heads, C]`` head-mask matmul operand (built per
+    window slot from a [C] row — heads*C tiny VPU work, no [C, bp]-sized
+    pass), and the V scales arrive in the same tiny ``[C, window]`` layout
+    as ``pe_v``. The mask product is computed in f32 and rounded ONCE to
+    bf16 for the MXU: scale-value rounding error ~2^-9 per channel,
+    averaging out over the dh contraction — well under the int8
+    quantisation noise itself.
     """
     q = q_ref[0]  # [C, bp] bf16
     c, bp = q.shape
     dh = c // heads
     ci = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 1)
     hi = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 0)
-    mask_t = (ci // dh == hi).astype(q.dtype)  # [heads, C]
+    mask_bool = ci // dh == hi  # [heads, C]
+    mask_t = mask_bool.astype(q.dtype)
     mask_f = mask_t.T.astype(jnp.float32)  # [C, heads]
 
-    ks = ks_ref[0]  # [heads, window] f32
+    ks = ks_ref[0]  # [C, window] f32 per-channel K scales
+    mask_f32 = mask_bool.astype(jnp.float32)
 
     logits = []
     for w in range(window):
         prod = k_ref[0, 0, w].astype(q.dtype) * q  # int8 -> bf16, [C, bp]
+        mw = (mask_f32 * (ks[:, w] * scale)[None, :]).astype(q.dtype)  # [heads, C]
         lw = jax.lax.dot_general(
-            mask_t, prod, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (ks[:, w : w + 1] * scale)  # [heads, bp]
+            mw, prod, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [heads, bp]
         logits.append(lw + extra_ref[0, w])
 
     m = logits[0]
@@ -193,8 +200,8 @@ def stream_window_attention_kernel_int8(
     cache_data: jnp.ndarray,  # [steps, 2, window, C, HW] int8
     extra: jnp.ndarray,  # [steps, window, heads, HW] fp32
     pe_v_t: jnp.ndarray,  # [steps, C, window] fp32
-    k_scales_t: jnp.ndarray,  # [steps, heads, window] fp32
-    v_scales_c: jnp.ndarray,  # [steps, C, window] fp32 (head scales on channels)
+    k_scales_t: jnp.ndarray,  # [steps, C, window] fp32 per-channel
+    v_scales_c: jnp.ndarray,  # [steps, C, window] fp32 per-channel
     scale: float,
     heads: int,
     block_p: int = 0,
@@ -223,7 +230,7 @@ def stream_window_attention_kernel_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, window), lambda si, pi: (si, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, heads, window), lambda si, pi: (si, 0, 0),
+            pl.BlockSpec((1, c, window), lambda si, pi: (si, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, window), lambda si, pi: (si, 0, 0),
                          memory_space=pltpu.VMEM),

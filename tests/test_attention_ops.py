@@ -415,7 +415,7 @@ def test_stream_window_kernel_int8_matches_xla_interpret():
     c = heads * dh
     q = jnp.asarray(rs.randn(s, hw, c).astype(np.float32))
     data = jnp.asarray(rs.randint(-127, 128, (s, 2, window, c, hw)).astype(np.int8))
-    scales = jnp.asarray((rs.rand(s, 2, window, heads) * 0.05 + 0.01).astype(np.float32))
+    scales = jnp.asarray((rs.rand(s, 2, window, c) * 0.05 + 0.01).astype(np.float32))
     cache = (data, scales)
     pe_q = jnp.asarray(rs.randn(s, c).astype(np.float32))
     pe_k = jnp.asarray(rs.randn(s, window, c).astype(np.float32))

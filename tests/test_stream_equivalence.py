@@ -135,9 +135,26 @@ def test_streaming_after_eviction_attends_window_only(module_and_params):
     )
 
 
+def test_int8_quantize_per_channel_outlier_robust():
+    """One 100x outlier channel must not cost the OTHER channels precision
+    (the published failure mode of per-head int8 KV on real SD weights;
+    VERDICT r4 item 3 asked for finer granularity)."""
+    from live2diff_tpu.models.motion import _quantize_kv
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 64, 16).astype(np.float32)  # [steps, HW, C]
+    x[..., 3] *= 100.0
+    q, s = _quantize_kv(jnp.asarray(x), (1,))
+    deq = np.asarray(q, np.float32) * np.asarray(s)[:, None, :]
+    for c in range(16):
+        max_err = np.abs(deq[..., c] - x[..., c]).max()
+        bound = np.abs(x[..., c]).max() / 127.0 * 0.51 + 1e-6
+        assert max_err <= bound, (c, max_err, bound)
+
+
 def test_streaming_int8_cache_close_to_full_attention(module_and_params):
     """int8 KV-cache streaming tracks full attention within quantisation
-    error (per-(slot, head) symmetric int8: ~0.5-1% relative)."""
+    error (per-(slot, CHANNEL) symmetric int8: ~0.2-0.5% relative)."""
     mm, params = module_and_params
     rng = np.random.RandomState(1)
     num_stream_frames = 4
@@ -145,11 +162,10 @@ def test_streaming_int8_cache_close_to_full_attention(module_and_params):
         rng.randn(1, WARMUP + num_stream_frames, H, W, C), dtype=jnp.float32
     )
 
-    heads = 2
     caches = [
         (
             jnp.zeros((1, 2, WINDOW, C, H * W), jnp.int8),
-            jnp.ones((1, 2, WINDOW, heads), jnp.float32),
+            jnp.ones((1, 2, WINDOW, C), jnp.float32),
         )
         for _ in range(2)
     ]

@@ -122,13 +122,11 @@ def run_all(quick: bool = False) -> dict:
                 stream_window_attention(q, cache, pe_q, pe_k, pe_v, bias, heads),
                 np.float32,
             )
-            # int8 cache: quantise per-(slot, head) like the pipeline does
-            dh = c // heads
-            cf = np.asarray(cache, np.float32).reshape(steps, 2, window, heads, dh, hw)
-            sc = np.abs(cf).max(axis=(4, 5)) / 127.0 + 1e-12  # [s,2,w,heads]
+            # int8 cache: quantise per-(slot, CHANNEL) like the pipeline does
+            cf = np.asarray(cache, np.float32)  # [s,2,w,C,hw]
+            sc = np.abs(cf).max(axis=4) / 127.0 + 1e-12  # [s,2,w,C]
             data8 = jnp.asarray(
-                np.clip(np.round(cf / sc[..., None, None]), -127, 127)
-                .reshape(steps, 2, window, c, hw).astype(np.int8))
+                np.clip(np.round(cf / sc[..., None]), -127, 127).astype(np.int8))
             scales = jnp.asarray(sc.astype(np.float32))
             want_int8 = np.asarray(
                 stream_window_attention(q, (data8, scales), pe_q, pe_k, pe_v,
