@@ -76,9 +76,24 @@ def _random_params_like(shapes_tree, seed: int = 0, scale: float = 0.02):
       relies on that);
     - ONE batched ``jax.device_put`` for the whole tree, not per leaf
       (1716 transfer round-trips cost ~13 s).
+
+    On non-CPU backends the expansion runs ON DEVICE from a 64 MB pool
+    upload instead of shipping ~1.4 GB of expanded leaves (the dev tunnel
+    moves ~25 MB/s — the old upload WAS the build phase); set
+    LIVE2DIFF_DEVICE_INIT=0 to force the host path.
     """
     leaves, treedef = jax.tree_util.tree_flatten(shapes_tree)
     rng = np.random.default_rng(seed)
+    use_device = (
+        os.environ.get("LIVE2DIFF_DEVICE_INIT", "1") != "0"
+        and jax.default_backend() not in ("cpu",)
+    )
+    if use_device:
+        try:
+            out = _device_expand_params(leaves, rng, scale)
+            return jax.tree_util.tree_unflatten(treedef, out)
+        except Exception as e:  # pragma: no cover - fall back to upload
+            print(f"[builder] device param init failed ({e!r}); uploading")
     host = []
     for l in leaves:
         dt = np.dtype(l.dtype)
@@ -94,6 +109,55 @@ def _random_params_like(shapes_tree, seed: int = 0, scale: float = 0.02):
         host.append(arr.reshape(l.shape))
     out = jax.device_put(host)
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+_DEVICE_POOL = None
+
+
+def _device_expand_params(leaves, rng, scale: float):
+    """Expand placeholder leaves on device from the shared normal pool.
+
+    One jitted program slices/tiles/scales/casts every leaf from the pool
+    (64 MB uploaded once per process) — offsets ride in as a traced array
+    so the program's cache key is seed-independent. Output layouts are
+    pinned to the default (device_put-equivalent) layout so the big
+    programs' input-layout-derived persistent-cache keys stay stable (see
+    stream/pipeline.py:_restore_formats for why that matters).
+    """
+    global _DEVICE_POOL
+    from jax.experimental.layout import Format, Layout
+
+    if _DEVICE_POOL is None:
+        _DEVICE_POOL = jax.device_put(_normal_pool(np.float32))
+
+    shapes = tuple(tuple(l.shape) for l in leaves)
+    dtypes = tuple(np.dtype(l.dtype) for l in leaves)
+    starts = np.asarray(
+        [int(rng.integers(0, _POOL_SIZE)) for _ in leaves], np.int32
+    )
+
+    def expand(pool, starts_arr):
+        outs = []
+        for i, (shape, dt) in enumerate(zip(shapes, dtypes)):
+            n = max(int(np.prod(shape)), 1)
+            if n <= _POOL_SIZE:
+                # keep the slice in range: fold the start into [0, POOL-n]
+                start = jnp.minimum(starts_arr[i], _POOL_SIZE - n)
+                flat = jax.lax.dynamic_slice(pool, (start,), (n,))
+            else:
+                reps = n // _POOL_SIZE + 1
+                tiled = jnp.tile(pool, reps + 1)
+                flat = jax.lax.dynamic_slice(tiled, (starts_arr[i],), (n,))
+            arr = (flat * scale).astype(dt) if scale != 1.0 else flat.astype(dt)
+            outs.append(arr.reshape(shape))
+        return tuple(outs)
+
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    out_formats = tuple(
+        Format(Layout(tuple(range(len(s)))), sharding) for s in shapes
+    )
+    fn = jax.jit(expand, out_shardings=out_formats)
+    return list(fn(_DEVICE_POOL, jnp.asarray(starts)))
 
 
 @dataclasses.dataclass

@@ -152,6 +152,60 @@ def test_int8_quantize_per_channel_outlier_robust():
         assert max_err <= bound, (c, max_err, bound)
 
 
+def test_streaming_int8_robust_to_outlier_weight_channels(module_and_params):
+    """int8 cache accuracy with OUTLIER projection channels — the realistic
+    SD-weight regime (trained to_k/to_v kernels have per-channel norms
+    spanning orders of magnitude). 50x-scaled channels in every temporal
+    K/V projection must not blow up the int8-vs-bf16 error: per-channel
+    scales bound each channel's quantisation error independently."""
+    mm, params = module_and_params
+
+    def scale_outliers(p):
+        p = jax.tree_util.tree_map(lambda x: x, p)  # shallow copy
+
+        def walk(node):
+            for name, sub in node.items():
+                if name in ("to_k", "to_v") and "kernel" in sub:
+                    kern = np.array(sub["kernel"], copy=True)
+                    kern[:, :: kern.shape[1] // 4] *= 50.0  # 4 outlier cols
+                    sub["kernel"] = jnp.asarray(kern)
+                elif isinstance(sub, dict):
+                    walk(sub)
+
+        import flax
+
+        raw = flax.core.unfreeze(p) if hasattr(flax.core, "unfreeze") else dict(p)
+        walk(raw["params"] if "params" in raw else raw)
+        return raw
+
+    params_out = scale_outliers(jax.tree_util.tree_map(np.asarray, params))
+    rng = np.random.RandomState(3)
+    frames = jnp.asarray(rng.randn(1, WARMUP + 2, H, W, C), dtype=jnp.float32)
+
+    def run(caches):
+        _, caches = mm.apply(
+            params_out, frames[:, :WARMUP], caches, "warmup", None, None, None, 0)
+        mask, pe_idx, update_idx = init_window_state(1)
+        outs = []
+        for t in range(2):
+            out, caches = mm.apply(
+                params_out, frames[:, WARMUP + t : WARMUP + t + 1], caches,
+                "stream", mask_to_bias(mask), pe_idx, update_idx)
+            outs.append(np.asarray(out[:, 0]))
+            mask, pe_idx, update_idx = update_window_state(mask, pe_idx, update_idx)
+        return np.stack(outs)
+
+    exact = run([jnp.zeros((1, 2, WINDOW, C, H * W), jnp.float32)
+                 for _ in range(2)])
+    quant = run([
+        (jnp.zeros((1, 2, WINDOW, C, H * W), jnp.int8),
+         jnp.ones((1, 2, WINDOW, C), jnp.float32))
+        for _ in range(2)
+    ])
+    rel = np.abs(quant - exact).mean() / (np.abs(exact).mean() + 1e-6)
+    assert rel < 0.02, f"outlier-channel int8 error {rel:.4f} too large"
+
+
 def test_streaming_int8_cache_close_to_full_attention(module_and_params):
     """int8 KV-cache streaming tracks full attention within quantisation
     error (per-(slot, CHANNEL) symmetric int8: ~0.2-0.5% relative)."""
