@@ -471,8 +471,30 @@ def main() -> None:
         }))
         return
 
-    state, prepare_s, compile_s = prepare_and_warm(
-        stream, prompt, args, height, width, rng)
+    try:
+        state, prepare_s, compile_s = prepare_and_warm(
+            stream, prompt, args, height, width, rng)
+    except Exception as e:
+        if args.tiny:
+            raise
+        # Executable-cache poisoning (observed live): a backend update
+        # between cache write and read makes every DESERIALIZED executable
+        # fail INVALID_ARGUMENT at launch while fresh compiles work. The
+        # headline must still land: disable the persistent cache, rebuild
+        # the pipeline (fresh jit wrappers), compile from scratch once.
+        stage(f"prepare/warm failed ({e!r}); disabling executable caches "
+              f"and rebuilding for a fresh compile")
+        jax.config.update("jax_compilation_cache_dir", None)
+        del built, stream
+        collect_now()
+        built = build(args, height, width, args.kv_cache, args.spatial_qk,
+                      try_aot=False)
+        stream = built.stream
+        prompt = encode_prompt_for_pipeline(
+            built, "masterpiece, best quality, a benchmark")
+        state, prepare_s, compile_s = prepare_and_warm(
+            stream, prompt, args, height, width, rng)
+        result["cache_recovery"] = True
     result["prepare_s"] = round(prepare_s, 1)
     result["first_step_compile_s"] = round(compile_s, 1)
     if not args.tiny:
@@ -505,6 +527,7 @@ def main() -> None:
         emit()
 
         if (not args.tiny and not result.get("aot_hit")
+                and not result.get("cache_recovery")
                 and phase_ok("aot_prime", 180)):
             # prime the AOT store for the NEXT process (one-time per config;
             # the compile half rides this run's XLA cache entries)

@@ -124,6 +124,7 @@ def load_executables(stream, cache_dir: str = "engines/aot",
     Returns True on a full hit (both programs). On any failure the stream
     is left untouched (ordinary jit + persistent cache path).
     """
+    import jax
     from jax.experimental.serialize_executable import deserialize_and_load
 
     p_prepare, p_step, _key = _paths(stream, cache_dir, frame_dtype, prompt_len)
@@ -137,8 +138,19 @@ def load_executables(stream, cache_dir: str = "engines/aot",
                 payload, in_tree, out_tree = pickle.load(f)
             loaded.append(deserialize_and_load(payload, in_tree, out_tree))
         prep, step = loaded
+        # VALIDATE by executing: executable deserialization can succeed while
+        # the loaded program is unusable (observed: a backend update between
+        # save and load makes every launch fail INVALID_ARGUMENT — and the
+        # failure surfaces asynchronously at the first fetch, past any
+        # try/except around the call). One throwaway step + a concrete fetch
+        # proves the executable end-to-end before we commit to it.
+        state, _warmup, frame, prompts = _example_args(stream, frame_dtype,
+                                                       prompt_len)
+        _st, out = step(stream.params, state, frame, prompts)
+        np.asarray(out)  # concrete fetch: surfaces async launch failures
+        del _st
     except Exception as e:
-        print(f"[aot] load failed ({e!r}); falling back to jit")
+        print(f"[aot] load/validate failed ({e!r}); falling back to jit")
         return False
 
     fallback_prepare = stream._jit_prepare
