@@ -233,7 +233,10 @@ class BatchedDemoPipeline:
         for uid, f in fresh.items():
             frames[self._slots[uid]] = f
             active[self._slots[uid]] = True
-        self._states, out = self.multi(self._states, frames, active)
+        # full-load rounds (every slot fed) take the unmasked program —
+        # zero masking overhead exactly when aggregate throughput matters
+        self._states, out = self.multi(
+            self._states, frames, None if active.all() else active)
         out = np.asarray(out)
         for uid in fresh:
             outs[uid] = out[self._slots[uid]]

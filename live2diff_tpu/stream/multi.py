@@ -93,9 +93,18 @@ def _programs_for(stream: StreamDiffusionDepth, num_sessions: int):
             return keep.replace(kv_caches=caches), out
 
         progs = (
-            # vmap over (state, frame, prompt, active); params broadcast
+            # vmap over (state, frame, prompt, active); params broadcast.
+            # TWO step programs: the masked one preserves idle sessions'
+            # state exactly but pays slot-restore overhead (~30 ms/round at
+            # 4x512x512 measured), so all-active rounds — the full-load case
+            # that defines aggregate throughput — run the plain program.
+            # Each compiles only when first used.
             jax.jit(
                 jax.vmap(_masked_step, in_axes=(None, 0, 0, 0, 0)),
+                donate_argnums=(1,),
+            ),
+            jax.jit(
+                jax.vmap(stream._frame_step, in_axes=(None, 0, 0, 0)),
                 donate_argnums=(1,),
             ),
             jax.jit(
@@ -123,9 +132,8 @@ class MultiStream:
     def __init__(self, stream: StreamDiffusionDepth, num_sessions: int):
         self.stream = stream
         self.num_sessions = num_sessions
-        self._jit_step, self._jit_prepare, self._write_slot = _programs_for(
-            stream, num_sessions
-        )
+        (self._jit_step_masked, self._jit_step_all, self._jit_prepare,
+         self._write_slot) = _programs_for(stream, num_sessions)
         self._prompts = None
 
     def init_states(self, seeds=None) -> StreamState:
@@ -226,13 +234,16 @@ class MultiStream:
         ``active``: optional [S] bool — sessions marked False run through
         the batched program (the batch shape is static) but their state
         update is discarded, so an idle stream's KV window, PE indices and
-        RNG are untouched. Default: all sessions active.
+        RNG are untouched. ``active=None`` (all sessions live) runs the
+        plain program with zero masking overhead.
         """
         if self._prompts is None:
             raise RuntimeError("call prepare() first")
         if active is None:
-            active = jnp.ones((self.num_sessions,), jnp.bool_)
-        return self._jit_step(
+            return self._jit_step_all(
+                self.stream.params, states, jnp.asarray(frames), self._prompts
+            )
+        return self._jit_step_masked(
             self.stream.params, states, jnp.asarray(frames), self._prompts,
             jnp.asarray(active),
         )

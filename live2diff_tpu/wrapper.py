@@ -123,14 +123,6 @@ class StreamV2VWrapper:
         except Exception:
             self.aot_hit = False
 
-    def prime_aot(self) -> bool:
-        """Serialize this config's compiled programs into the engine dir so
-        future processes warm-start (run once per config/resolution)."""
-        from .aot import save_executables
-
-        return save_executables(
-            self.stream, self._aot_dir, frame_dtype=np.uint8) is not None
-
         self.similar_filter = (
             SimilarImageFilter(similar_image_filter_threshold,
                                similar_image_filter_max_skip_frame)
@@ -142,6 +134,14 @@ class StreamV2VWrapper:
         self.inference_time_ema = 0.0
         self.inference_time_list: List[float] = []
         self.first_step_warm_s = 0.0
+
+    def prime_aot(self) -> bool:
+        """Serialize this config's compiled programs into the engine dir so
+        future processes warm-start (run once per config/resolution)."""
+        from .aot import save_executables
+
+        return save_executables(
+            self.stream, self._aot_dir, frame_dtype=np.uint8) is not None
 
     # ------------------------------------------------------------------
 

@@ -122,11 +122,12 @@ def test_program_cache_shared_across_instances():
     s = FakeStream()
     a = M.MultiStream(s, 2)
     b = M.MultiStream(s, 2)
-    assert a._jit_step is b._jit_step
+    assert a._jit_step_masked is b._jit_step_masked
+    assert a._jit_step_all is b._jit_step_all
     assert a._jit_prepare is b._jit_prepare
     assert a._write_slot is b._write_slot
     c = M.MultiStream(s, 3)
-    assert c._jit_step is not a._jit_step  # different S = different program
+    assert c._jit_step_all is not a._jit_step_all  # different S = different program
     # cache is weak on the stream: no leak when the pipeline dies
     import weakref
     ref = weakref.ref(s)
