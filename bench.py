@@ -438,7 +438,7 @@ def main() -> None:
     from live2diff_tpu.builder import build_pipeline, encode_prompt_for_pipeline
     from live2diff_tpu.wrapper import enable_compilation_cache
 
-    if not args.tiny:
+    if not args.tiny and not os.environ.get("LIVE2DIFF_NO_XLA_CACHE"):
         enable_compilation_cache()  # engines/xla_cache: skip ~minutes of recompiles
     stage("imports + cache ready")
 
@@ -503,28 +503,27 @@ def main() -> None:
         state, prepare_s, compile_s = prepare_and_warm(
             stream, prompt, args, height, width, rng)
     except Exception as e:
-        if args.tiny:
+        if args.tiny or os.environ.get("LIVE2DIFF_BENCH_RECOVERED"):
             raise
-        # Executable-cache poisoning (observed live): a backend update
-        # between cache write and read makes every DESERIALIZED executable
-        # fail INVALID_ARGUMENT at launch while fresh compiles work. The
-        # headline must still land: disable the persistent cache, rebuild
-        # the pipeline (fresh jit wrappers), compile from scratch once.
-        stage(f"prepare/warm failed ({e!r}); disabling executable caches "
-              f"and rebuilding for a fresh compile")
-        jax.config.update("jax_compilation_cache_dir", None)
-        del built, stream
-        collect_now()
-        built = build(args, height, width, args.kv_cache, args.spatial_qk,
-                      try_aot=False)
-        stream = built.stream
-        prompt = encode_prompt_for_pipeline(
-            built, "masterpiece, best quality, a benchmark")
-        state, prepare_s, compile_s = prepare_and_warm(
-            stream, prompt, args, height, width, rng)
-        result["cache_recovery"] = True
+        # Executable-cache poisoning (observed live): a compile-service
+        # restart invalidates every DESERIALIZED executable — cache hits
+        # fail INVALID_ARGUMENT at launch while fresh compiles work. And
+        # once a launch has failed, the PROCESS's device session is
+        # poisoned too (the in-process rebuild+retry also failed when this
+        # was first hit), so recovery must re-exec: same pid/stdout, cache
+        # disabled, remaining budget carried through the environment.
+        stage(f"prepare/warm failed ({e!r}); re-exec with caches disabled "
+              f"for a fresh compile in a clean device session")
+        os.environ["LIVE2DIFF_BENCH_RECOVERED"] = "1"
+        os.environ["LIVE2DIFF_NO_XLA_CACHE"] = "1"
+        os.environ["LIVE2DIFF_BENCH_BUDGET_S"] = str(max(remaining(), 600.0))
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     result["prepare_s"] = round(prepare_s, 1)
     result["first_step_compile_s"] = round(compile_s, 1)
+    if os.environ.get("LIVE2DIFF_BENCH_RECOVERED"):
+        result["cache_recovery"] = True
     if not args.tiny:
         result["aot_hit"] = bool(getattr(stream, "_aot_hit", False))
         result["aot_load_s"] = round(getattr(stream, "_aot_load_s", 0.0), 1)

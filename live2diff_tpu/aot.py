@@ -81,6 +81,33 @@ def _example_args(stream, frame_dtype, prompt_len: int = 77):
     return state, warmup, frame, prompts
 
 
+def _pinned_jit(fn, example_args, donate=(1,)):
+    """jit with in/out layouts pinned to the canonical default.
+
+    A serialized executable is executed RAW at load time — unlike the jit
+    dispatch path there is no automatic relayout of arguments, so an
+    executable whose compiler-chosen input layouts differ from what
+    production passes (device_put / init_state defaults) rejects every
+    call (observed: 5/40 param layouts flipped). Pinning inputs AND
+    outputs to the default layout makes the executable's contract exactly
+    the arrays production already holds; donation stays coherent because
+    the state's in/out layouts coincide by construction.
+    """
+    import jax
+    from jax.experimental.layout import Format, Layout
+
+    sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def fmt_of(x):
+        return Format(Layout(tuple(range(x.ndim))), sh)
+
+    in_f = jax.tree_util.tree_map(fmt_of, example_args)
+    out_aval = jax.eval_shape(fn, *example_args)
+    out_f = jax.tree_util.tree_map(fmt_of, out_aval)
+    return jax.jit(fn, donate_argnums=donate,
+                   in_shardings=in_f, out_shardings=out_f)
+
+
 def save_executables(stream, cache_dir: str = "engines/aot",
                      frame_dtype=np.uint8,
                      prompt_len: int = 77) -> Optional[str]:
@@ -90,22 +117,22 @@ def save_executables(stream, cache_dir: str = "engines/aot",
     AOT analogue of the reference's engine build step. Returns the key, or
     None if serialization is unsupported on this backend.
     """
-    import jax
+    import jax  # noqa: F401  (device query inside _pinned_jit)
     from jax.experimental.serialize_executable import serialize
 
     os.makedirs(cache_dir, exist_ok=True)
     p_prepare, p_step, key = _paths(stream, cache_dir, frame_dtype, prompt_len)
     state, warmup, frame, prompts = _example_args(stream, frame_dtype, prompt_len)
     try:
-        for path, jitted, args in (
-            (p_prepare, stream._jit_prepare,
+        for path, fn, args in (
+            (p_prepare, stream._warmup_denoise,
              (stream.params, state, warmup, prompts)),
-            (p_step, stream._jit_step,
+            (p_step, stream._frame_step,
              (stream.params, stream.init_state(seed=0), frame, prompts)),
         ):
             if os.path.exists(path):
                 continue
-            compiled = jitted.lower(*args).compile()
+            compiled = _pinned_jit(fn, args).lower(*args).compile()
             payload, in_tree, out_tree = serialize(compiled)
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "wb") as f:
@@ -151,6 +178,14 @@ def load_executables(stream, cache_dir: str = "engines/aot",
         del _st
     except Exception as e:
         print(f"[aot] load/validate failed ({e!r}); falling back to jit")
+        # stale artifacts (typically: the compile service restarted since the
+        # save, invalidating every serialized executable) — remove so the
+        # next successful run re-primes instead of re-failing forever
+        for path in (p_prepare, p_step):
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
         return False
 
     fallback_prepare = stream._jit_prepare
