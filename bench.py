@@ -512,10 +512,15 @@ def main() -> None:
         # poisoned too (the in-process rebuild+retry also failed when this
         # was first hit), so recovery must re-exec: same pid/stdout, cache
         # disabled, remaining budget carried through the environment.
-        stage(f"prepare/warm failed ({e!r}); re-exec with caches disabled "
-              f"for a fresh compile in a clean device session")
+        stage(f"prepare/warm failed ({e!r}); purging the poisoned cache and "
+              f"re-exec'ing for a fresh compile in a clean device session")
+        import shutil
+
+        from live2diff_tpu.wrapper import CACHE_SCHEMA
+
+        shutil.rmtree(os.path.join("engines", "xla_cache", CACHE_SCHEMA),
+                      ignore_errors=True)
         os.environ["LIVE2DIFF_BENCH_RECOVERED"] = "1"
-        os.environ["LIVE2DIFF_NO_XLA_CACHE"] = "1"
         os.environ["LIVE2DIFF_BENCH_BUDGET_S"] = str(max(remaining(), 600.0))
         sys.stdout.flush()
         sys.stderr.flush()
