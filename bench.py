@@ -85,6 +85,12 @@ def emit() -> None:
 
 def _on_term(signum, frame):  # noqa: ANN001
     stage(f"signal {signum}: emitting current result and exiting")
+    child = globals().get("_CHILD")
+    if child is not None:  # orphaned children would hold the device
+        try:
+            child.kill()
+        except Exception:
+            pass
     emit()
     # exit 0 if we have a headline to report; the partial record is valid
     sys.exit(0 if "value" in _RESULT else 124)
@@ -157,6 +163,7 @@ def parse_args() -> argparse.Namespace:
                    help="skip the int8-defaults vs bf16-exact output PSNR check")
     p.add_argument("--psnr-frames", type=int, default=15)
     p.add_argument("--psnr-dump", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--int8-dump", default=None, help=argparse.SUPPRESS)
     p.add_argument("--budget", type=float, default=None,
                    help="wall-clock budget in seconds (default env "
                         "LIVE2DIFF_BENCH_BUDGET_S or 1450); optional rows "
@@ -317,48 +324,6 @@ def collect_now() -> None:
     gc.collect()
 
 
-def psnr_bf16_side(args, outs_int8) -> float:
-    """Second half of the int8-vs-bf16 check: a SUBPROCESS builds the
-    bf16-exact pipeline (same seeded weights), replays the same
-    warmup/frames/noise, and dumps the outputs for comparison here.
-
-    Subprocess, not in-process: a long-lived device session that has
-    already built/compiled/dropped several big pipelines reproducibly
-    crashes the backend on the NEXT big build (observed twice at this
-    exact point), while the same build in a fresh process succeeds. A
-    child process gets a clean device session AND contains any crash."""
-    import subprocess
-    import tempfile
-
-    with tempfile.TemporaryDirectory() as td:
-        dump = os.path.join(td, "bf16_outs.npy")
-        cmd = [
-            sys.executable, os.path.abspath(__file__),
-            "--psnr-dump", dump, "--psnr-frames", str(args.psnr_frames),
-            "--height", str(args.height), "--width", str(args.width),
-            "--budget", str(max(min(remaining() - 45, 3600.0), 120.0)),
-        ]
-        sub = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=max(remaining() - 15, 180))
-        if not os.path.isfile(dump):
-            raise RuntimeError(
-                f"bf16 side subprocess produced no dump: rc={sub.returncode} "
-                f"stderr tail: {sub.stderr[-500:]}")
-        outs_bf16 = np.load(dump)
-    stage("psnr-check: bf16 outputs collected (subprocess)")
-    val = psnr(outs_int8, outs_bf16)
-    # SNR = 10*log10(var(signal)/mse) is contrast-invariant: random-init
-    # weights give low-contrast outputs that FLATTER PSNR (peak fixed at
-    # 255), so also report error relative to the actual signal variance —
-    # the honest quantisation-noise figure for placeholder weights
-    mse = np.mean((outs_int8.astype(np.float64) - outs_bf16.astype(np.float64)) ** 2)
-    sig = float(np.var(outs_bf16.astype(np.float64)))
-    snr = float("inf") if mse == 0 else 10 * np.log10(sig / mse)
-    stage(f"psnr int8-defaults vs bf16-exact over {args.psnr_frames} frames: "
-          f"{val:.2f} dB (snr {snr:.2f} dB, output std {np.sqrt(sig):.1f}/255)")
-    return round(val, 2), round(snr, 2), round(float(np.sqrt(sig)), 1)
-
-
 def sessions_row(built, args, height, width, s: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -416,11 +381,154 @@ def sessions_row(built, args, height, width, s: int) -> dict:
     }
 
 
+_CHILD = None  # live subprocess handle, killed by the SIGTERM handler
+
+
+def _psnr_snr(outs_int8: np.ndarray, outs_bf16: np.ndarray):
+    val = psnr(outs_int8, outs_bf16)
+    mse = np.mean(
+        (outs_int8.astype(np.float64) - outs_bf16.astype(np.float64)) ** 2)
+    sig = float(np.var(outs_bf16.astype(np.float64)))
+    snr = float("inf") if mse == 0 else 10 * np.log10(sig / mse)
+    return round(val, 2), round(snr, 2), round(float(np.sqrt(sig)), 1)
+
+
+def orchestrate(args) -> None:
+    """Top-level full run: a host-only parent sequencing device CHILDREN.
+
+    One live device session per chip is a hard rule here — a second heavy
+    session (concurrent process, OR a new big build in a process that
+    already built/dropped pipelines, OR a child while the parent's session
+    exists, even after clear_backends) reproducibly crashes the backend.
+    So the parent never initializes the device at all: every phase group
+    runs as the sole owner in its own process, JSON flows back on stdout
+    (stage lines pass through on stderr), and the parent merges + re-emits
+    after each phase. A child crash costs its rows, nothing else.
+    """
+    import subprocess
+    import tempfile
+
+    global _CHILD
+    result = _RESULT
+    env = dict(os.environ, LIVE2DIFF_BENCH_CHILD="1")
+    base = [sys.executable, os.path.abspath(__file__)] + sys.argv[1:]
+    td = tempfile.mkdtemp(prefix="bench_dumps_")
+    int8_dump = os.path.join(td, "int8.npy")
+    bf16_dump = os.path.join(td, "bf16.npy")
+
+    def run_child(extra, label):
+        global _CHILD
+        budget = max(min(remaining() - 45, 90000.0), 120.0)
+        cmd = base + extra + ["--budget", str(budget)]
+        try:
+            _CHILD = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      text=True, env=env)
+            out, _ = _CHILD.communicate(timeout=max(remaining() - 15, 150))
+        except subprocess.TimeoutExpired:
+            _CHILD.kill()
+            out, _ = _CHILD.communicate()
+        finally:
+            _CHILD = None
+        lines = [l for l in (out or "").splitlines() if l.startswith("{")]
+        if not lines:
+            stage(f"{label}: no JSON from child")
+            return None
+        return json.loads(lines[-1])
+
+    # ---- phase A: core rows (headline, burst, serving, sessions) ----------
+    wants_psnr = (not args.no_psnr_check
+                  and (args.kv_cache == "int8" or args.spatial_qk == "int8"))
+    extra = ["--no-second-res", "--no-psnr-check", "--no-selftest"]
+    if wants_psnr:
+        extra += ["--int8-dump", int8_dump]
+    res = run_child(extra, "core")
+    if res:
+        result.update(res)
+        emit()
+    if "value" not in result:
+        stage("core phase produced no headline; aborting")
+        sys.exit(1)
+
+    # ---- phase B: 768x512 row ---------------------------------------------
+    if (not args.no_second_res
+            and (args.width, args.height) != (768, 512)
+            and phase_ok("second_res", result.get("prepare_s", 200)
+                         + result.get("first_step_compile_s", 150) + 120)):
+        sub = run_child([
+            "--height", "512", "--width", "768",
+            "--frames", str(args.second_res_frames),
+            "--no-second-res", "--no-sessions-row", "--no-psnr-check",
+            "--no-serving-window", "--no-selftest",
+        ], "768x512")
+        if sub and "fps_p50" in sub:
+            result["fps_mean_768x512"] = sub.get("fps_mean")
+            result["fps_p50_768x512"] = sub.get("fps_p50")
+            result["vs_baseline_768x512"] = sub.get("vs_baseline")
+            if "fps_burst10" in sub:
+                result["fps_burst_768x512"] = sub["fps_burst10"]
+                result["vs_baseline_768x512_burst"] = round(
+                    sub["fps_burst10"] / _BASELINES[(768, 512)], 3)
+            stage(f"768x512: p50 {result['fps_p50_768x512']} fps "
+                  f"(x{result['vs_baseline_768x512']})")
+        else:
+            result["fps_mean_768x512"] = None
+        emit()
+
+    # ---- phase C: int8-vs-bf16 accuracy of the serving defaults ------------
+    if (wants_psnr and os.path.isfile(int8_dump)
+            and phase_ok("psnr_bf16_side", result.get("prepare_s", 200)
+                         + result.get("build_s", 60) + 90)):
+        run_child(["--psnr-dump", bf16_dump,
+                   "--psnr-frames", str(args.psnr_frames)], "psnr-bf16")
+        if os.path.isfile(bf16_dump):
+            (result["psnr_int8_vs_bf16"], result["snr_int8_vs_bf16"],
+             result["output_std_int8_check"]) = _psnr_snr(
+                np.load(int8_dump), np.load(bf16_dump))
+            result["psnr_frames"] = args.psnr_frames
+            stage(f"psnr int8-defaults vs bf16-exact: "
+                  f"{result['psnr_int8_vs_bf16']} dB "
+                  f"(snr {result['snr_int8_vs_bf16']} dB)")
+        else:
+            result["psnr_int8_vs_bf16"] = None
+        emit()
+
+    # ---- phase D: on-chip kernel selftest ----------------------------------
+    if not args.no_selftest and phase_ok("selftest", 180):
+        try:
+            import subprocess as sp
+
+            code = (
+                "import sys, json; sys.path.insert(0, %r);"
+                "from tools.kernel_check import run_all;"
+                "st = run_all(quick=True); ok = st.pop('pass');"
+                "worst = max((v['max_rel_err'] for v in st.values()), default=0.0);"
+                "print(json.dumps({'pass': bool(ok), 'worst': worst}))"
+            ) % os.path.dirname(os.path.abspath(__file__))
+            sub = sp.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=max(remaining() - 15, 120))
+            lines = [l for l in sub.stdout.splitlines() if l.startswith("{")]
+            st = json.loads(lines[-1])
+            result["kernel_selftest"] = "pass" if st["pass"] else "fail"
+            result["kernel_selftest_worst_rel_err"] = st["worst"]
+            stage(f"kernel selftest: {result['kernel_selftest']} "
+                  f"(worst rel err {st['worst']:.4f})")
+        except Exception as e:
+            stage(f"selftest failed to run: {e!r}")
+            result["kernel_selftest"] = "error"
+    emit()
+
+
 def main() -> None:
     global _BUDGET_S
     args = parse_args()
     if args.budget is not None:
         _BUDGET_S = args.budget
+
+    protocol_early = "sync" if args.sync else args.protocol
+    if (protocol_early == "device" and not args.tiny and not args.psnr_dump
+            and args.sessions <= 1 and args.int8_dump is None
+            and not os.environ.get("LIVE2DIFF_BENCH_CHILD")):
+        return orchestrate(args)
     if os.environ.get("LIVE2DIFF_BENCH_DEBUG"):
         import logging
 
@@ -653,126 +761,19 @@ def main() -> None:
             collect_now()  # the session states
             emit()
 
-        # ---- int8-vs-bf16 end-to-end accuracy of the serving defaults -----
-        # (collect the int8 side now while `built` is alive; the expensive
-        # bf16 build happens after the pipeline is freed, budget permitting)
-        second_res_wanted = (not args.tiny and not args.no_second_res
-                             and (width, height) != (768, 512))
-        run_psnr = (not args.tiny and not args.no_psnr_check
-                    and (args.kv_cache == "int8" or args.spatial_qk == "int8")
-                    and phase_ok(
-                        "psnr_bf16_side", est["psnr_bf16_side"]
-                        + (est["second_res"] if second_res_wanted else 0)))
-        outs_int8 = None
-        if run_psnr:
+        # ---- int8-side dump for the orchestrator's psnr/snr check ---------
+        # (the bf16 side runs as a SEPARATE sole-owner process later; a new
+        # big build inside this device session would crash the backend)
+        if (args.int8_dump and not args.tiny
+                and (args.kv_cache == "int8" or args.spatial_qk == "int8")
+                and phase_ok("int8_dump", 90)):
             outs_int8 = run_stream_outputs(
                 stream, prompt, args, height, width, args.psnr_frames)
-            stage("psnr-check: int8 outputs collected")
+            np.save(args.int8_dump, outs_int8)
+            stage("psnr-check: int8 outputs dumped for the orchestrator")
 
         del built, stream
         collect_now()
-        # RELEASE THE DEVICE before any child runs: two live sessions on one
-        # chip reproducibly crash the backend (INVALID_ARGUMENT for both) —
-        # the remaining rows each build a full pipeline, so they run in
-        # fresh single-owner processes while the parent stays host-only.
-        if not args.tiny:
-            try:
-                import jax.extend.backend as _xb
-
-                _xb.clear_backends()
-                stage("device released (remaining rows run in subprocesses)")
-            except Exception as e:
-                stage(f"clear_backends failed ({e!r}); skipping device rows")
-                second_res_wanted = False
-                run_psnr = False
-                args.no_selftest = True
-
-        # ---- second resolution row (reference table: 768x512 = 12.15) ------
-        if second_res_wanted and phase_ok("second_res", est["second_res"]):
-            # SUBPROCESS, not in-process: a device session that has already
-            # built/compiled/dropped several big pipelines reproducibly
-            # crashes the backend on the next big build (observed at this
-            # exact point in two full runs, while the identical build in a
-            # fresh process succeeds). A child gets a clean session and
-            # contains any crash; its budget is clamped to what remains.
-            try:
-                import subprocess
-
-                cmd = [
-                    sys.executable, os.path.abspath(__file__),
-                    "--height", "512", "--width", "768",
-                    "--frames", str(args.second_res_frames),
-                    "--chain", str(args.chain),
-                    "--kv-cache", args.kv_cache,
-                    "--spatial-qk", args.spatial_qk,
-                    "--no-second-res", "--no-sessions-row",
-                    "--no-psnr-check", "--no-serving-window", "--no-selftest",
-                    "--budget", str(max(min(remaining() - 45, 3600.0), 120.0)),
-                ]
-                sub = subprocess.run(cmd, capture_output=True, text=True,
-                                     timeout=max(remaining() - 15, 240))
-                for line in sub.stderr.splitlines():
-                    if line.startswith("#"):
-                        stage(f"[768] {line.lstrip('# ')}")
-                lines = [l for l in sub.stdout.splitlines()
-                         if l.startswith("{")]
-                if not lines:
-                    raise RuntimeError(
-                        f"no JSON from 768 subprocess (rc={sub.returncode}); "
-                        f"stderr tail: {sub.stderr[-300:]}")
-                sub_res = json.loads(lines[-1])
-                result["fps_mean_768x512"] = sub_res.get("fps_mean")
-                result["fps_p50_768x512"] = sub_res.get("fps_p50")
-                result["vs_baseline_768x512"] = sub_res.get("vs_baseline")
-                if "fps_burst10" in sub_res:
-                    result["fps_burst_768x512"] = sub_res["fps_burst10"]
-                    result["vs_baseline_768x512_burst"] = round(
-                        sub_res["fps_burst10"] / _BASELINES[(768, 512)], 3)
-                stage(f"768x512: p50 {result['fps_p50_768x512']} fps "
-                      f"(baseline 12.15, x{result['vs_baseline_768x512']})")
-            except Exception as e:
-                stage(f"768x512 row failed: {e!r}")
-                result["fps_mean_768x512"] = None
-            emit()
-
-        if run_psnr and phase_ok("psnr_bf16_side", est["psnr_bf16_side"]):
-            try:
-                (result["psnr_int8_vs_bf16"], result["snr_int8_vs_bf16"],
-                 result["output_std_int8_check"]) = psnr_bf16_side(args, outs_int8)
-                result["psnr_frames"] = args.psnr_frames
-            except Exception as e:
-                stage(f"psnr bf16 side failed: {e!r}")
-                result["psnr_int8_vs_bf16"] = None
-            collect_now()
-            emit()
-
-        # ---- on-chip kernel selftest (moved from preamble to trailing row:
-        # it cost 162 s before the headline in round 4) --------------------
-        if (not args.tiny and not args.no_selftest
-                and phase_ok("selftest", est["selftest"])):
-            try:
-                import subprocess
-
-                code = (
-                    "import sys, json; sys.path.insert(0, %r);"
-                    "from tools.kernel_check import run_all;"
-                    "st = run_all(quick=True); ok = st.pop('pass');"
-                    "worst = max((v['max_rel_err'] for v in st.values()),"
-                    "            default=0.0);"
-                    "print(json.dumps({'pass': bool(ok), 'worst': worst}))"
-                ) % os.path.dirname(os.path.abspath(__file__))
-                sub = subprocess.run(
-                    [sys.executable, "-c", code], capture_output=True,
-                    text=True, timeout=max(remaining() - 15, 120))
-                lines = [l for l in sub.stdout.splitlines() if l.startswith("{")]
-                st = json.loads(lines[-1])
-                result["kernel_selftest"] = "pass" if st["pass"] else "fail"
-                result["kernel_selftest_worst_rel_err"] = st["worst"]
-                stage(f"kernel selftest: {result['kernel_selftest']} "
-                      f"(worst rel err {st['worst']:.4f})")
-            except Exception as e:  # a dead backend must not cost the record
-                stage(f"selftest failed to run: {e!r}")
-                result["kernel_selftest"] = "error"
 
         print(f"# prepare={prepare_s:.1f}s compile={compile_s:.1f}s "
               f"headline mean {result['frame_ms_mean']}ms fps={result['value']}",
