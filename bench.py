@@ -25,14 +25,17 @@ window. p50 and the serving-path window are secondary fields.
 
 Defaults run the production serving settings: int8 KV-cache (the
 memory-critical half — it fits 4 session states on a chip; per-(slot,
-channel) scales + the outlier-weights test bound its error) with bf16
-spatial QK. int8-QK flash is an opt-in speed knob (--spatial-qk int8,
-~2x MXU rate on the QK matmul): measured end-to-end it dominates the
-int8 noise budget (~24 dB SNR on random weights — the r5 per-channel
-KV rework moved total SNR by <0.2 dB, isolating the cost there).
---psnr-check (default on) measures the active defaults vs bf16-exact
-and attaches psnr_int8_vs_bf16 / snr_int8_vs_bf16; rerun
-tools/parity.py when real weights are available (docs/PARITY.md).
+channel) scales + the outlier-weights test bound its per-step error
+under 2%) with bf16 spatial QK; int8-QK flash stays an opt-in speed
+knob (--spatial-qk int8, ~0.4 fps). Read the SNR number as TRAJECTORY
+divergence, not per-step accuracy: the stream is recursive (every
+output feeds the next frame's latent buffer and KV window), so any
+small perturbation compounds over the 15 measured frames — r5 measured
+~24 dB for int8-KV-only, int8-KV+int8-QK, and after an 8-64x scale
+granularity refinement alike, while per-frame PSNR stays ~71 dB and
+module-level error is bounded by tests. --psnr-check (default on)
+measures the active defaults vs bf16-exact; rerun tools/parity.py when
+real weights are available (docs/PARITY.md).
 
 Weights are randomly initialised (no checkpoints in this environment);
 FLOPs, memory traffic, and graph structure are identical to the real
@@ -498,7 +501,11 @@ def orchestrate(args) -> None:
             result["fps_mean_768x512"] = sub.get("fps_mean")
             result["fps_p50_768x512"] = sub.get("fps_p50")
             result["vs_baseline_768x512"] = sub.get("vs_baseline")
-            if "fps_burst10" in sub:
+            # sanity-gate the child's burst figure: a recovered child once
+            # reported a physically impossible 3353 fps (donated-state
+            # timing artifact); only accept bursts within 3x of its p50
+            if (sub.get("fps_burst10")
+                    and 0 < sub["fps_burst10"] < 3 * sub["fps_p50"]):
                 result["fps_burst_768x512"] = sub["fps_burst10"]
                 result["vs_baseline_768x512_burst"] = round(
                     sub["fps_burst10"] / _BASELINES[(768, 512)], 3)
