@@ -450,10 +450,12 @@ def orchestrate(args) -> None:
     int8_dump = os.path.join(td, "int8.npy")
     bf16_dump = os.path.join(td, "bf16.npy")
 
-    def run_child(extra, label, settle_s: float = 45.0):
+    def run_child(extra, label, settle_s: float = 120.0):
         global _CHILD
         if settle_s and remaining() > settle_s + 180:
-            stage(f"{label}: settling {settle_s:.0f}s (device session cleanup)")
+            stage(f"{label}: settling {settle_s:.0f}s (server-side session "
+                  f"cleanup lags a heavy child's exit; starting sooner trips "
+                  f"a ~200s failed attempt)")
             time.sleep(settle_s)
         budget = max(min(remaining() - 45, 90000.0), 120.0)
         cmd = base + extra + ["--budget", str(budget)]
